@@ -1,0 +1,158 @@
+package graft.functions
+
+import graft.codec.{Digests, HttpCodec, UrlNormalizer}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static, null-free kernels callable from generated code. Keeping these as
+  * plain static-shaped methods lets every expression below stay inside
+  * whole-stage codegen (one virtual call per row, no boxing beyond the
+  * unavoidable byte[]/String copies).
+  */
+object Kernels {
+  def urlNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(UrlNormalizer.normalize(s.toString))
+  def urlHost(s: UTF8String): UTF8String =
+    UTF8String.fromString(UrlNormalizer.host(s.toString))
+  def urlIsValid(s: UTF8String): Boolean = UrlNormalizer.isValid(s.toString)
+  def sha1Base32(b: Array[Byte]): UTF8String = UTF8String.fromString(Digests.sha1Base32(b))
+  def sha256Base32(b: Array[Byte]): UTF8String = UTF8String.fromString(Digests.sha256Base32(b))
+  def gunzip(b: Array[Byte]): Array[Byte] = HttpCodec.gunzip(b)
+  def httpExtractText(b: Array[Byte]): UTF8String =
+    UTF8String.fromBytes(HttpCodec.decodedBody(b))
+}
+
+/** Base for one-arg expressions implemented as a static kernel call —
+  * native Catalyst `Expression`s with real `doGenCode` (SURVEY.md §2.9:
+  * promoted from UDFs because they sit on the hot canonicalize/extract
+  * path of every row at 10^10 scale).
+  */
+abstract class KernelUnary extends UnaryExpression {
+  /** fully-qualified static call with one %s input placeholder */
+  protected def kernelCall: String
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => kernelCall.format(c))
+}
+
+case class UrlNormalize(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.urlNormalize(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.urlNormalize(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): UrlNormalize = copy(child = c)
+  override def prettyName: String = "url_normalize"
+}
+
+case class UrlHost(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.urlHost(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.urlHost(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): UrlHost = copy(child = c)
+  override def prettyName: String = "url_host"
+}
+
+case class UrlIsValid(child: Expression) extends KernelUnary {
+  override def dataType: DataType = BooleanType
+  override protected def kernelCall = "graft.functions.Kernels.urlIsValid(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.urlIsValid(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): UrlIsValid = copy(child = c)
+  override def prettyName: String = "url_is_valid"
+}
+
+/** `sha1:`-less base32 SHA-1 — the reference's digest encoding
+  * (/root/reference/utils.go:23-30); Spark's sha1() is hex so this must be
+  * a custom expression. */
+case class Sha1Base32(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.sha1Base32(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.sha1Base32(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Sha1Base32 = copy(child = c)
+  override def prettyName: String = "sha1_base32"
+}
+
+case class Sha256Base32(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.sha256Base32(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.sha256Base32(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Sha256Base32 = copy(child = c)
+  override def prettyName: String = "sha256_base32"
+}
+
+case class GunzipExpr(child: Expression) extends KernelUnary {
+  override def dataType: DataType = BinaryType
+  override protected def kernelCall = "graft.functions.Kernels.gunzip(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.gunzip(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): GunzipExpr = copy(child = c)
+  override def prettyName: String = "gunzip"
+}
+
+/** The byte-identical text path (SURVEY.md P8): raw stored HTTP response
+  * block → chunked-decode → gunzip → body bytes as UTF8String. */
+case class HttpExtractText(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.httpExtractText(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.httpExtractText(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): HttpExtractText = copy(child = c)
+  override def prettyName: String = "http_extract_text"
+}
+
+/** Full structured HTTP parse: BINARY → struct(status, headers, body).
+  * Struct construction isn't worth hand-writing codegen for (it is off the
+  * per-row hot path — used by the extract/verify pipelines, not
+  * canonicalize), so CodegenFallback. */
+case class HttpParse(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("body", BinaryType)))
+  override def nullSafeEval(v: Any): Any = {
+    val msg = HttpCodec.parse(v.asInstanceOf[Array[Byte]])
+    val keys = msg.headers.map { case (k, _) => UTF8String.fromString(k).asInstanceOf[Any] }.toArray
+    val vals = msg.headers.map { case (_, x) => UTF8String.fromString(x).asInstanceOf[Any] }.toArray
+    InternalRow(
+      msg.status,
+      ArrayBasedMapData(keys, vals),
+      msg.body)
+  }
+  override protected def withNewChildInternal(c: Expression): HttpParse = copy(child = c)
+  override def prettyName: String = "http_parse"
+}
+
+/** Column-API + SQL registration for the engine's function surface. */
+object GraftFunctions {
+  // Spark 4 Column↔Expression bridge (Column companion is private[sql])
+  import org.apache.spark.sql.graft.Bridge
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  def url_normalize(c: Column): Column = col(UrlNormalize(expr(c)))
+  def url_host(c: Column): Column = col(UrlHost(expr(c)))
+  def url_is_valid(c: Column): Column = col(UrlIsValid(expr(c)))
+  def sha1_base32(c: Column): Column = col(Sha1Base32(expr(c)))
+  def sha256_base32(c: Column): Column = col(Sha256Base32(expr(c)))
+  def gunzip(c: Column): Column = col(GunzipExpr(expr(c)))
+  def http_extract_text(c: Column): Column = col(HttpExtractText(expr(c)))
+  def http_parse(c: Column): Column = col(HttpParse(expr(c)))
+
+  /** Register all functions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, exprs => f(exprs.head), "built-in")
+    one("url_normalize", UrlNormalize)
+    one("url_host", UrlHost)
+    one("url_is_valid", UrlIsValid)
+    one("sha1_base32", Sha1Base32)
+    one("sha256_base32", Sha256Base32)
+    one("gunzip", GunzipExpr)
+    one("http_extract_text", HttpExtractText)
+    one("http_parse", HttpParse)
+  }
+}

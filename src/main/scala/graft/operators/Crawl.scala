@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.state.TableIO
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-round crawl driver: frontier → schedule → fetch (offline: join the
+  * pages table, SURVEY.md S4) → byte-identical text extraction → digest
+  * dedup → link discovery → seen-set union, with per-round snapshot commits
+  * and lineage counters (the reference's counters model, SURVEY.md A3, as
+  * deterministic per-round sums instead of rate counters).
+  *
+  * Frontier rows: (url STRING, depth INT, warc_ts TIMESTAMP) where warc_ts
+  * is the discovery recency used by the priority order (north_star:
+  * depth asc, budget rank, warc_ts desc).
+  */
+object Crawl {
+
+  final case class RoundOutput(
+      fetched: DataFrame,
+      nextFrontier: DataFrame,
+      newSeen: DataFrame,
+      counters: Map[String, Long])
+
+  final case class CrawlResult(
+      rounds: Vector[Map[String, Long]],
+      allFetched: DataFrame)
+
+  /** The pages table as "the web": keyed by canonical url (one page per
+    * canonical url, first capture wins deterministically). */
+  def asWeb(pages: DataFrame): DataFrame = {
+    val canon = Frontier.canonicalize(pages)
+      .select(col("url_norm"), col("warc_ts").as("page_ts"),
+        col("html"), col("text"), col("lang"))
+    Frontier.firstSeenWins(canon, col("url_norm"),
+      Seq(col("page_ts").asc, col("url_norm").asc))
+  }
+
+  /** One frontier round. `web` must be the asWeb() shape. */
+  def round(
+      frontier: DataFrame,
+      seen: Option[DataFrame],
+      web: DataFrame,
+      robots: Option[DataFrame],
+      politeness: Option[DataFrame],
+      cfg: Frontier.Config,
+      withCounters: Boolean = true): RoundOutput = {
+
+    val canonical = Frontier.canonicalize(frontier)
+      .select(col("url_norm"), col("host"), col("url_hash"), col("depth"), col("warc_ts"))
+    // within-round first-discovery-wins per url
+    val batchDeduped = Frontier.firstSeenWins(canonical, col("url_hash"),
+      Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc))
+    val unseen = Frontier.dedupeAgainstSeen(batchDeduped, seen, cfg)
+    val allowed = robots match {
+      case Some(r) => Frontier.applyRobots(unseen, r, cfg)
+      case None => unseen
+    }
+    val scheduled = Frontier.schedule(allowed, politeness, cfg)
+
+    // fetch = equi-join against the web on canonical url; unfetchable urls
+    // (404s) drop out here
+    val fetched0 = scheduled.join(web, Seq("url_norm"), "inner")
+      .withColumn("extracted_text", http_extract_text(col("html")))
+      .withColumn("text_ok", col("extracted_text") === col("text"))
+      .withColumn("payload", encode(col("extracted_text"), "UTF-8"))
+      .withColumn("payload_len", length(col("payload")).cast("long"))
+      .withColumn("payload_digest", sha1_base32(col("payload")))
+      .drop("payload")
+    val fetched = Frontier.digestDedup(fetched0, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // link discovery from non-revisit fetches; discovery recency = the
+    // linking page's capture time
+    val nextFrontier = fetched
+      .filter(!col("is_revisit"))
+      .select(
+        explode(expr("regexp_extract_all(extracted_text, '<a href=\"([^\"]+)\"', 1)")).as("url"),
+        (col("depth") + 1).as("depth"),
+        col("page_ts").as("warc_ts"))
+
+    val newSeen = scheduled.select(col("url_hash"), col("url_norm"))
+
+    val counters: Map[String, Long] =
+      if (!withCounters) Map.empty
+      else {
+        val row = fetched.agg(
+          count(lit(1)).as("fetched"),
+          sum(when(col("is_revisit"), 1L).otherwise(0L)).as("revisits"),
+          sum(when(col("text_ok"), 0L).otherwise(1L)).as("text_mismatches"),
+          sum(col("payload_len")).as("payload_bytes"),
+          sum(when(col("is_revisit"), col("payload_len")).otherwise(0L)).as("dedupe_saved_bytes")
+        ).collect()(0)
+        Map(
+          "fetched" -> row.getLong(0),
+          "revisits" -> Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          "text_mismatches" -> Option(row.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          "payload_bytes" -> Option(row.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          "dedupe_saved_bytes" -> Option(row.get(4)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+
+    RoundOutput(fetched, nextFrontier, newSeen, counters)
+  }
+
+  /** Run `maxRounds` rounds from a seed list. When `stateDir` is given,
+    * the seen set and per-round counters are committed as snapshots and the
+    * crawl resumes from the latest committed snapshot (exact resume per
+    * north_rule). */
+  def crawl(
+      spark: SparkSession,
+      web: DataFrame,
+      seeds: Seq[String],
+      maxRounds: Int,
+      robots: Option[DataFrame] = None,
+      politeness: Option[DataFrame] = None,
+      cfg: Frontier.Config = Frontier.Config(),
+      stateDir: Option[String] = None): CrawlResult = {
+    import spark.implicits._
+
+    val seenTable = stateDir.map(_ + "/seen")
+    val frontierTable = stateDir.map(_ + "/frontier")
+    val resumedSnap = seenTable.flatMap(TableIO.latestSnapshotId)
+
+    var seen: Option[DataFrame] = resumedSnap.flatMap(id =>
+      TableIO.read(spark, seenTable.get, Some(id)))
+    val startRound = resumedSnap.map(_.toInt + 1).getOrElse(0)
+
+    var frontier: DataFrame = resumedSnap match {
+      case Some(id) => TableIO.read(spark, frontierTable.get, Some(id)).get
+      case None =>
+        seeds.toDF("url")
+          .withColumn("depth", lit(0))
+          .withColumn("warc_ts", lit(new java.sql.Timestamp(PagesGenTs.base)))
+    }
+
+    var allCounters = Vector.empty[Map[String, Long]]
+    var allFetched: Option[DataFrame] = None
+
+    var r = startRound
+    var done = false
+    while (r < startRound + maxRounds && !done) {
+      if (frontier.isEmpty) done = true
+      else {
+        val out = round(frontier, seen, web, robots, politeness, cfg)
+        allCounters :+= out.counters
+        allFetched = allFetched match {
+          case None => Some(out.fetched)
+          case Some(prev) => Some(prev.unionByName(out.fetched))
+        }
+        val seenNext = seen match {
+          case None => out.newSeen
+          case Some(s) => s.unionByName(out.newSeen).distinct()
+        }
+        (seenTable, frontierTable) match {
+          case (Some(st), Some(ft)) =>
+            TableIO.commit(out.nextFrontier, ft, Map("round" -> r.toLong))
+            TableIO.commit(seenNext, st, out.counters.map { case (k, v) => k -> v })
+            seen = TableIO.read(spark, st, None)
+            frontier = TableIO.read(spark, ft, None).get
+          case _ =>
+            seen = Some(seenNext.persist(StorageLevel.MEMORY_AND_DISK))
+            frontier = out.nextFrontier
+        }
+        r += 1
+      }
+    }
+    CrawlResult(allCounters, allFetched.getOrElse(spark.emptyDataFrame))
+  }
+}
+
+/** Shared base timestamp (PagesGen.BaseEpochSec) without a main-source
+  * dependency cycle. */
+private object PagesGenTs {
+  val base: Long = graft.sources.PagesGen.BaseEpochSec * 1000L
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.codec.Robots
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The Spark-native URL frontier + fetch scheduler (BASELINE.json
+  * north_star). Every stage is a declarative DataFrame → DataFrame function
+  * so Catalyst owns pushdown/pruning/reorder; shuffles happen exactly where
+  * keyed state forces them (seen-join on url_hash, politeness rank on
+  * host), and the hot-host skew in the politeness window is broken
+  * explicitly with a two-phase salted top-k.
+  *
+  * Reference semantics grafted in (SURVEY.md §2.4):
+  *  - URL-seen is first-occurrence-wins (the sync.Map registration in
+  *    /root/reference/dialer.go:401-410) → ranking window + left-anti join.
+  *  - Payload-digest dedup honors the 2048-byte size threshold
+  *    (/root/reference/client.go:110-112) and the empty-payload exemption
+  *    (/root/reference/dialer.go:402,516).
+  *  - Dup responses become `revisit` rows referencing the first capture
+  *    (/root/reference/dialer.go:516-623).
+  */
+object Frontier {
+
+  final case class Config(
+      agent: String = "graftbot",
+      defaultBudget: Int = 8,
+      saltBuckets: Int = 16,
+      sizeThreshold: Long = 2048L,
+      bloomFpp: Double = 0.01)
+
+  /** Stage 1 — canonicalize: dirty url → RFC-3986 normal form, host,
+    * xxhash64 identity. Runs inside one whole-stage-codegen span (all
+    * expressions are native, incl. the custom url_* ones). */
+  def canonicalize(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("url_norm", url_normalize(col("url")))
+      .filter(url_is_valid(col("url_norm")))
+      .withColumn("host", url_host(col("url_norm")))
+      .withColumn("url_hash", xxhash64(col("url_norm")))
+
+  /** First-occurrence-wins within a batch: one row per key, ordered by
+    * (orderCols); ties broken deterministically by the caller's last
+    * order column. */
+  def firstSeenWins(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** Stage 2 — URL-seen filter against the persisted seen set. The Bloom
+    * prefilter gives the fast no-path without shuffling the (large)
+    * candidate side: rows whose hash cannot be in `seen` skip the join
+    * entirely; only possible members join (left-anti, exact). At 10^10
+    * urls the Bloom is built per-partition and OR-merged by
+    * `stat.bloomFilter`'s TypedImperativeAggregate, then broadcast once. */
+  def dedupeAgainstSeen(candidates: DataFrame, seen: Option[DataFrame], cfg: Config): DataFrame =
+    seen match {
+      case None => candidates
+      case Some(s) =>
+        val seenHashes = s.select(col("url_hash"))
+        val seenCount = math.max(1L, seenHashes.count())
+        val bloom = seenHashes.stat.bloomFilter("url_hash", seenCount, cfg.bloomFpp)
+        val bloomBc = candidates.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+        val flagged = candidates.withColumn("__maybe_seen", mightContain(col("url_hash")))
+        val definitelyNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
+        val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
+          .join(seenHashes, Seq("url_hash"), "left_anti")
+        definitelyNew.unionByName(needExact)
+    }
+
+  /** Stage 3 — payload-digest dedup (J2+J4): first capture per digest wins;
+    * later captures are flagged `is_revisit` and reference the first
+    * (WARC-Refers-To semantics). Exemptions: payloads under the size
+    * threshold and the empty payload are never deduped. Expects columns
+    * (payload_digest, payload_len, url_norm, warc_ts). */
+  def digestDedup(df: DataFrame, cfg: Config): DataFrame = {
+    // exempt rows must not occupy ranks in a digest group, so the window
+    // runs over eligible rows only and exempt rows are unioned back
+    val eligible = coalesce(
+      col("payload_len") >= cfg.sizeThreshold &&
+        col("payload_len") > 0 && col("payload_digest").isNotNull,
+      lit(false))
+    val w = Window.partitionBy("payload_digest")
+      .orderBy(col("warc_ts").asc, col("url_norm").asc)
+    val marked = df.filter(eligible)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__first_url", first(col("url_norm")).over(w))
+      .withColumn("__first_ts", first(col("warc_ts")).over(w))
+      .withColumn("is_revisit", col("__rn") > 1)
+      .withColumn("refers_to_url", when(col("__rn") > 1, col("__first_url")))
+      .withColumn("refers_to_ts", when(col("__rn") > 1, col("__first_ts")))
+      .drop("__rn", "__first_url", "__first_ts")
+    val exempt = df.filter(!eligible)
+      .withColumn("is_revisit", lit(false))
+      .withColumn("refers_to_url", lit(null).cast("string"))
+      .withColumn("refers_to_ts", lit(null).cast("timestamp"))
+    marked.unionByName(exempt)
+  }
+
+  // Per-executor robots parse cache: robots bodies repeat per host, so
+  // parse each (body, agent) once per JVM rather than once per url.
+  @transient private lazy val robotsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.codec.RobotsRules]()
+  private def cachedRules(body: String, agent: String): graft.codec.RobotsRules = {
+    val key = (if (body == null) 0 else body.hashCode, agent)
+    var r = robotsCache.get(key)
+    if (r == null) {
+      r = Robots.parse(if (body == null) "" else body, agent)
+      if (robotsCache.size < 65536) robotsCache.put(key, r)
+    }
+    r
+  }
+
+  /** Stage 4 — robots.txt gate: broadcast-join the per-host robots dim
+    * (small: one row per host) and keep urls the host's rules allow.
+    * Hosts absent from the dim are allow-all (RFC 9309 §2.3.1). */
+  def applyRobots(df: DataFrame, robots: DataFrame, cfg: Config): DataFrame = {
+    val agent = cfg.agent
+    val allowed = udf { (body: String, url: String) =>
+      val path = {
+        val i = url.indexOf('/', url.indexOf("://") + 3)
+        if (i < 0) "/" else url.substring(i)
+      }
+      cachedRules(body, agent).allows(path)
+    }
+    df.join(broadcast(robots.withColumnRenamed("body", "__robots_body")), Seq("host"), "left")
+      .filter(col("__robots_body").isNull || allowed(col("__robots_body"), col("url_norm")))
+      .drop("__robots_body")
+  }
+
+  /** Stage 5 — politeness scheduling: per-host top-`budget` by priority
+    * (depth asc, warc_ts desc, url asc — the north_star priority queue),
+    * realized as a skew-safe two-phase ranking:
+    *
+    *   phase A: rank within (host, salt) where salt = pmod(url_hash, S) —
+    *            a hot host's rows spread over S tasks; keep ≤ budget each.
+    *   phase B: re-rank the ≤ S×budget survivors per host; keep ≤ budget.
+    *
+    * Phase B's per-host group is bounded by S×budget rows regardless of how
+    * hot the host is, so no single task ever sees an unbounded host.
+    * `batch_rank` (1..budget) is the fetch wave: one request per host per
+    * wave. Expects (host, url_norm, url_hash, depth, warc_ts) + politeness
+    * dim (host, budget). */
+  def schedule(df: DataFrame, politeness: Option[DataFrame], cfg: Config): DataFrame = {
+    val withBudget = politeness match {
+      case Some(p) =>
+        df.join(broadcast(p.select(col("host"), col("budget").cast("int").as("__budget"))),
+          Seq("host"), "left")
+          .withColumn("__budget", coalesce(col("__budget"), lit(cfg.defaultBudget)))
+      case None => df.withColumn("__budget", lit(cfg.defaultBudget))
+    }
+    val order = Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc)
+    val salted = withBudget.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
+    val wA = Window.partitionBy(col("host"), col("__salt")).orderBy(order: _*)
+    val phaseA = salted
+      .withColumn("__rnA", row_number().over(wA))
+      .filter(col("__rnA") <= col("__budget"))
+      .drop("__rnA", "__salt")
+    val wB = Window.partitionBy(col("host")).orderBy(order: _*)
+    phaseA
+      .withColumn("batch_rank", row_number().over(wB))
+      .filter(col("batch_rank") <= col("__budget"))
+      .drop("__budget")
+  }
+
+  /** Outlink extraction from page text (frontier growth between rounds). */
+  def extractLinks(df: DataFrame): DataFrame =
+    df.select(
+      col("url_norm").as("src_url"),
+      col("depth"),
+      explode(expr("regexp_extract_all(text, '<a href=\"([^\"]+)\"', 1)")).as("url"))
+      .withColumn("depth", col("depth") + 1)
+}

@@ -1,0 +1,100 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-semantics snapshot layer over Parquet (SURVEY.md §7: no Iceberg
+  * runtime ships in this environment, so snapshots are immutable Parquet
+  * data directories plus a JSON manifest committed by atomic rename —
+  * giving checkpointed frontier state, exact resume, lineage counters and
+  * time-travel-by-snapshot-id; a real Iceberg catalog can be slotted in
+  * behind this trait where the runtime exists).
+  *
+  * Layout:
+  *   <table>/data/snap-<id>/part-*.parquet      immutable data files
+  *   <table>/manifest/snap-<id>.json            committed manifest
+  *   <table>/manifest/.tmp-<id>.json            staged then renamed
+  *
+  * The manifest names its parquet directory, parent snapshot, row count and
+  * per-round counters. Readers resolve the latest committed manifest — a
+  * crashed writer leaves only an orphan data dir + tmp manifest, never a
+  * half-visible snapshot (the `.open`→final rename discipline of the
+  * reference's rotator, /root/reference/warc.go:233-251).
+  */
+object TableIO {
+
+  final case class Snapshot(
+      id: Long,
+      parentId: Option[Long],
+      dataDir: String,
+      rowCount: Long,
+      counters: Map[String, Long])
+
+  private def mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  private def manifestDir(table: String): Path = Paths.get(table, "manifest")
+
+  def listSnapshots(table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  def latestSnapshotId(table: String): Option[Long] = listSnapshots(table).lastOption
+
+  def readManifest(table: String, id: Long): Snapshot = {
+    val bytes = Files.readAllBytes(manifestDir(table).resolve(s"snap-$id.json"))
+    val node = mapper.readTree(bytes)
+    Snapshot(
+      id = node.get("id").asLong(),
+      parentId = Option(node.get("parentId")).filter(!_.isNull).map(_.asLong()),
+      dataDir = node.get("dataDir").asText(),
+      rowCount = node.get("rowCount").asLong(),
+      counters = Option(node.get("counters")).map { c =>
+        c.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty))
+  }
+
+  /** Write `df` as the next snapshot of `table`; returns the committed
+    * manifest. The parquet write happens first; the manifest rename is the
+    * commit point. */
+  def commit(df: DataFrame, table: String, counters: Map[String, Long] = Map.empty): Snapshot = {
+    val parent = latestSnapshotId(table)
+    val id = parent.map(_ + 1).getOrElse(0L)
+    val dataDir = s"$table/data/snap-$id"
+    // row count captured via the write itself (observe-free; count on the
+    // written files avoids recomputing the input plan)
+    df.write.mode("overwrite").parquet(dataDir)
+    val rows = df.sparkSession.read.parquet(dataDir).count()
+    val snap = Snapshot(id, parent, dataDir, rows, counters)
+    val mdir = manifestDir(table)
+    Files.createDirectories(mdir)
+    val json = mapper.createObjectNode()
+    json.put("id", snap.id)
+    snap.parentId.foreach(p => json.put("parentId", p))
+    json.put("dataDir", snap.dataDir)
+    json.put("rowCount", snap.rowCount)
+    val cnode = json.putObject("counters")
+    snap.counters.toSeq.sortBy(_._1).foreach { case (k, v) => cnode.put(k, v) }
+    val tmp = mdir.resolve(s".tmp-$id.json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+    Files.move(tmp, mdir.resolve(s"snap-$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+
+  /** Read a snapshot (latest by default; pass an id for time travel).
+    * Returns None when the table has no committed snapshot yet. */
+  def read(spark: SparkSession, table: String, id: Option[Long] = None): Option[DataFrame] = {
+    val sid = id.orElse(latestSnapshotId(table))
+    sid.map(s => spark.read.parquet(readManifest(table, s).dataDir))
+  }
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.GraftSession
+import graft.codec.{Digests, Robots, UrlNormalizer}
+import graft.sources.{Page, PagesGen}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Single-threaded reference simulation of the crawl round semantics
+  * (FIXTURES.md §2): the distributed pipeline must match its scheduled set,
+  * ordering (batch ranks), and URL-seen membership exactly, round by round.
+  */
+object SequentialOracle {
+  final case class Entry(url: String, depth: Int, ts: Long) // ts = millis
+  final case class Sched(url: String, depth: Int, batchRank: Int, isRevisit: Boolean)
+
+  def crawl(
+      pages: IndexedSeq[Page],
+      seeds: Seq[String],
+      rounds: Int,
+      budgets: Map[String, Int],
+      defaultBudget: Int,
+      robots: Map[String, String],
+      threshold: Long): Vector[Vector[Sched]] = {
+
+    // the web: first capture per canonical url by (page_ts, url) ascending
+    val web: Map[String, Page] = pages
+      .map(p => (UrlNormalizer.normalize(p.url), p))
+      .filter { case (u, _) => UrlNormalizer.isValid(u) }
+      .groupBy(_._1)
+      .map { case (u, grp) =>
+        u -> grp.map(_._2).minBy(p => (p.warc_ts.getTime, u))
+      }
+
+    val linkRe = "<a href=\"([^\"]+)\"".r
+    var seen = Set.empty[String]
+    var digestSeenOrder = Map.empty[String, (Long, String)] // digest -> (ts, url) first capture within round accumulation
+    var frontier: Vector[Entry] =
+      seeds.map(s => Entry(s, 0, PagesGen.BaseEpochSec * 1000L)).toVector
+    var out = Vector.empty[Vector[Sched]]
+
+    var r = 0
+    while (r < rounds && frontier.nonEmpty) {
+      // canonicalize + within-round first-wins by (depth asc, ts desc, url asc)
+      val canon = frontier
+        .map(e => e.copy(url = UrlNormalizer.normalize(e.url)))
+        .filter(e => UrlNormalizer.isValid(e.url))
+      val firstWins = canon
+        .groupBy(_.url)
+        .map { case (_, grp) => grp.minBy(e => (e.depth, -e.ts, e.url)) }
+        .toVector
+      // seen filter
+      val unseen = firstWins.filterNot(e => seen.contains(e.url))
+      // robots
+      val allowed = unseen.filter { e =>
+        val host = UrlNormalizer.host(e.url)
+        robots.get(host) match {
+          case None => true
+          case Some(body) =>
+            val path = {
+              val i = e.url.indexOf('/', e.url.indexOf("://") + 3)
+              if (i < 0) "/" else e.url.substring(i)
+            }
+            Robots.parse(body, "graftbot").allows(path)
+        }
+      }
+      // per-host budget-bounded ranking by (depth asc, ts desc, url asc)
+      val scheduled = allowed
+        .groupBy(e => UrlNormalizer.host(e.url))
+        .toVector
+        .flatMap { case (host, grp) =>
+          val budget = budgets.getOrElse(host, defaultBudget)
+          grp.sortBy(e => (e.depth, -e.ts, e.url)).take(budget).zipWithIndex
+            .map { case (e, i) => (e, i + 1) }
+        }
+      // fetch + digest dedup (within the full crawl history, first-wins by
+      // (frontier ts asc, url asc) among eligible payloads)
+      val fetched = scheduled.flatMap { case (e, rank) =>
+        web.get(e.url).map(p => (e, rank, p))
+      }
+      val withDigest = fetched.map { case (e, rank, p) =>
+        val bytes = p.text.getBytes(UTF_8)
+        (e, rank, p, Digests.sha1Base32(bytes), bytes.length.toLong)
+      }
+      // eligibility mirrors Frontier.digestDedup (within-round window only)
+      val eligible = withDigest.filter(_._5 >= threshold)
+      val dupMarked: Map[String, Set[String]] = eligible
+        .groupBy(_._4)
+        .map { case (digest, grp) =>
+          val ordered = grp.sortBy(t => (t._1.ts, t._1.url))
+          digest -> ordered.drop(1).map(_._1.url).toSet
+        }
+      val schedOut = withDigest
+        .map { case (e, rank, _, digest, len) =>
+          val isRev = len >= threshold && dupMarked.get(digest).exists(_.contains(e.url))
+          Sched(e.url, e.depth, rank, isRev)
+        }
+        .sortBy(s => (s.url))
+      out :+= schedOut
+      // seen-set union: everything scheduled (pre-fetch), like newSeen
+      seen ++= scheduled.map(_._1.url)
+      // links from non-revisit fetches
+      val revUrls = schedOut.filter(_.isRevisit).map(_.url).toSet
+      frontier = withDigest
+        .filter { case (e, _, _, _, _) => !revUrls.contains(e.url) }
+        .flatMap { case (e, _, p, _, _) =>
+          linkRe.findAllMatchIn(p.text).map(m =>
+            Entry(m.group(1), e.depth + 1, p.warc_ts.getTime)).toVector
+        }
+      r += 1
+    }
+    out
+  }
+}
+
+class FrontierSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  val N = 3000L
+  val nHosts = 20
+  lazy val pagesLocal: IndexedSeq[Page] =
+    (0L until N).map(id => PagesGen.genPage(id, N, nHosts, 42L))
+  lazy val pagesDf = PagesGen.pages(spark, N, nHosts, 42L).toDF()
+  lazy val web = Crawl.asWeb(pagesDf).cache()
+
+  val budgets: Map[String, Int] =
+    (0 until nHosts).map(h => s"host$h.example" -> (1 + h % 8)).toMap
+  val robotsMap: Map[String, String] = Map(
+    "host0.example" -> "User-agent: *\nDisallow: /doc/1\nAllow: /doc/1a\n",
+    "host3.example" -> "User-agent: *\nDisallow: /\n")
+  val cfg = Frontier.Config(defaultBudget = 4, saltBuckets = 8)
+  lazy val politenessDf = budgets.toSeq.toDF("host", "budget")
+  lazy val robotsDf = robotsMap.toSeq.toDF("host", "body")
+  lazy val seeds = PagesGen.seeds(N, 60, nHosts, 42L)
+
+  test("canonicalize recovers clean urls from dirty variants") {
+    val canon = Frontier.canonicalize(pagesDf).select("url", "url_norm").collect()
+    assert(canon.nonEmpty)
+    val expected = (0L until N).map(id =>
+      PagesGen.dirtyUrl(id, nHosts, 42L) -> PagesGen.cleanUrl(id, nHosts, 42L)).toMap
+    canon.foreach { r =>
+      assert(r.getString(1) == expected(r.getString(0)),
+        s"normalize(${r.getString(0)})")
+    }
+  }
+
+  test("extracted text is byte-identical to the pages' text column") {
+    import graft.functions.GraftFunctions._
+    val bad = pagesDf
+      .withColumn("et", http_extract_text(col("html")))
+      .filter(col("et") =!= col("text"))
+      .count()
+    assert(bad == 0L, "every decode mode must reproduce text byte-identically")
+  }
+
+  test("dedupeAgainstSeen: bloom+anti-join equals exact anti-join") {
+    val canon = Frontier.canonicalize(pagesDf)
+      .select("url_norm", "url_hash").limit(2000).cache()
+    val seen = canon.sample(0.3, seed = 7).select("url_hash", "url_norm").cache()
+    val got = Frontier.dedupeAgainstSeen(canon, Some(seen), cfg)
+      .select("url_hash").as[Long].collect().sorted
+    val want = canon.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select("url_hash").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("schedule: two-phase salted top-k equals plain per-host top-k") {
+    val canon = Frontier.canonicalize(pagesDf)
+      .withColumn("depth", abs(col("url_hash") % 3).cast("int"))
+      .select("url_norm", "host", "url_hash", "depth", "warc_ts")
+    val got = Frontier.schedule(canon, Some(politenessDf), cfg)
+      .select("url_norm", "batch_rank").as[(String, Int)].collect().toMap
+    // plain oracle
+    val rows = canon.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(3), r.getTimestamp(4).getTime))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (host, grp) =>
+      val budget = budgets.getOrElse(host, cfg.defaultBudget)
+      grp.sortBy(t => (t._3, -t._4, t._1)).take(budget).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1) }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("full crawl matches the sequential oracle for 3 rounds") {
+    val oracle = SequentialOracle.crawl(
+      pagesLocal, seeds, 3, budgets, cfg.defaultBudget, robotsMap, cfg.sizeThreshold)
+
+    // Spark crawl, capturing per-round scheduled sets
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    var frontier = seeds.toDF("url")
+      .withColumn("depth", lit(0))
+      .withColumn("warc_ts", lit(new java.sql.Timestamp(PagesGen.BaseEpochSec * 1000L)))
+    for (r <- 0 until 3) {
+      val out = Crawl.round(frontier, seen, web, Some(robotsDf), Some(politenessDf), cfg,
+        withCounters = false)
+      val got = out.fetched
+        .select("url_norm", "depth", "batch_rank", "is_revisit")
+        .as[(String, Int, Int, Boolean)].collect()
+        .sortBy(_._1)
+        .map { case (u, d, b, rev) => SequentialOracle.Sched(u, d, b, rev) }
+        .toVector
+      assert(got == oracle(r), s"round $r mismatch: got ${got.size} vs oracle ${oracle(r).size}")
+      seen = Some(seen.map(_.unionByName(out.newSeen).distinct()).getOrElse(out.newSeen))
+      frontier = out.nextFrontier
+      out.fetched.unpersist()
+    }
+  }
+
+  test("crawl counters: revisits and byte sums are deterministic") {
+    val res = Crawl.crawl(spark, web, seeds, 2,
+      Some(robotsDf), Some(politenessDf), cfg)
+    assert(res.rounds.length == 2)
+    res.rounds.foreach { c =>
+      assert(c("text_mismatches") == 0L, "byte-identical extraction violated")
+      assert(c("fetched") > 0L)
+    }
+    // re-run must produce identical counters (determinism)
+    val res2 = Crawl.crawl(spark, web, seeds, 2,
+      Some(robotsDf), Some(politenessDf), cfg)
+    assert(res.rounds == res2.rounds)
+  }
+}
