@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Document-level deduplication for training-data pipelines, from exact to
+  * near-dup. All operators are shuffle-minimal: candidate generation always
+  * goes through a bucket key (digest / band / simhash block) so the only
+  * wide exchange is a groupBy on that key — never an all-pairs join.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the first (min key) row.
+    * Equivalent to the reference's payload-digest first-wins (J2) on whole
+    * documents. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("digest")).orderBy(col(idCol).asc)
+    docs
+      .withColumn("digest", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("is_dup", col("__rn") > 1)
+      .withColumn("keeper", first(col(idCol)).over(w))
+      .drop("__rn")
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** Word k-shingles of a document, lowercase. */
+  def shingles(c: Column, k: Int): Column = {
+    val words = split(lower(c), "\\s+")
+    // sliding window of k words, joined by space
+    filter(
+      transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))),
+      s => length(s) > 0)
+  }
+
+  /** MinHash signature of a set of shingles: for each of `numHashes`
+    * seeded xxhash64 permutations, the minimum hash over the shingles.
+    * Pure built-in expressions — stays inside codegen, no UDF. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band → (band_id, bucket) candidate keys. */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)),
+            h => h.cast("string"))), b).as("bucket")))
+
+  /** MinHash-LSH near-dup candidate pairs with exact-jaccard verification.
+    *
+    * Plan shape (scale-first): shingle → signature (narrow, codegen) →
+    * explode bands (×bands) → groupBy (band,bucket) with collect_list →
+    * within-bucket pairing (bucket sizes are bounded by capping
+    * collect_list) → exact jaccard on the pair (join back the shingle
+    * sets) → threshold. The only shuffles are the bucket groupBy and the
+    * two joins to fetch shingle sets for surviving candidates.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sigOnly = withSig.select(col("id"), col("sh"), col("sig")).cache()
+
+    val buckets = sigOnly
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    // within-bucket ordered pairs (a < b), dedup across bands
+    val pairs = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
+    // exact jaccard verification on candidate pairs
+    val shA = sigOnly.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sigOnly.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over word shingles: per bit, sum ±1 weighted by shingle
+    * hash bits; sign → bit. Expressed with built-in higher-order functions
+    * (aggregate over the shingle array). */
+  def simhash(shingleCol: Column): Column = {
+    // For each of 64 bits: count shingles with that bit set, compare to half
+    import graft.functions.GraftFunctions.{shiftleft_dyn, shiftright_dyn}
+    val hashes = transform(shingleCol, s => xxhash64(s))
+    val n = size(hashes)
+    val bitSums = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(hashes, lit(0L), (acc, h) => acc + shiftright_dyn(h, b).bitwiseAND(lit(1L))))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)), (s, b) =>
+        when(s * 2 >= n.cast("long"), shiftleft_dyn(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair within
+    * hamming distance ≤3 of a 64-bit hash must agree on at least one
+    * quarter — pigeonhole), then verify exact hamming distance. */
+  def simhashPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val withHash = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("h", simhash(col("sh")))
+      .select("id", "h")
+      .cache()
+    import graft.functions.GraftFunctions.shiftright_dyn
+    val blocked = withHash
+      .select(col("id"), col("h"), explode(transform(sequence(lit(0), lit(3)), q =>
+        struct(q.as("q"), shiftright_dyn(col("h"), q * 16).bitwiseAND(lit(0xffffL)).as("key")))).as("blk"))
+      .groupBy(col("blk"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("h")))), 1, maxBucket).as("rows"))
+      .filter(size(col("rows")) > 1)
+    blocked
+      .select(explode(expr(
+        "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.h as h_a, b.h as h_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hamming64(col("p.h_a"), col("p.h_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Character n-gram Jaccard similarity between candidate pairs — exact
+    * verification primitive for near-dup pipelines. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val ga = array_distinct(transform(sequence(lit(1), greatest(length(a) - (n - 1), lit(0))),
+      i => a.substr(i, lit(n))))
+    val gb = array_distinct(transform(sequence(lit(1), greatest(length(b) - (n - 1), lit(0))),
+      i => b.substr(i, lit(n))))
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+  }
+
+  // --- Embedding near-dup ---------------------------------------------------
+
+  /** Cosine similarity of two float-array columns, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH: `nPlanes` signed
+    * projections → bit signature; block on the signature; verify cosine
+    * within blocks. Hyperplanes are deterministic (seeded hash), generated
+    * as ±1 components — dot sign = sum of ±components. */
+  def embeddingPairs(
+      embs: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      nPlanes: Int = 12,
+      threshold: Double = 0.95,
+      seed: Int = 42,
+      maxBucket: Int = 256): DataFrame = {
+    // signature bit p: sign of sum_i(v[i] * rademacher(seed, p, i)), with
+    // the Rademacher ±1 drawn deterministically from xxhash64(i, p, seed)
+    def signature(vec: Column): Column =
+      (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+            when(xxhash64(i, lit(p), lit(seed)).bitwiseAND(lit(1L)) === 1L,
+              x.cast("double")).otherwise(-x.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", signature(col("v")))
+      .cache()
+    withSig
+      .groupBy(col("sig"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("rows"))
+      .filter(size(col("rows")) > 1)
+      .select(explode(expr(
+        "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.v as v_a, b.v as v_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        cosine(col("p.v_a"), col("p.v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column plumbing: media payloads ride as opaque BINARY columns
+  * with typed metadata structs. The *decode* step (image/audio codecs) is a
+  * deliberate stub — the codec libraries aren't in this environment — but
+  * the Spark-side contract is real and tested: schema, batch-shaped
+  * per-partition processing (the JVM analog of `mapInPandas`: one decoder
+  * instantiation per partition, amortized across its rows, never per row),
+  * and partition sizing by byte volume rather than row count.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      byte_len: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      valid: Boolean)
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta)
+
+  /** STUB decoder: deterministic fake metadata derived from the payload
+    * header bytes. A real deployment swaps `decodeOne` for an actual codec
+    * (e.g. TwelveMonkeys ImageIO) — the pipeline shape stays identical. */
+  def decodeOne(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.isEmpty) return MediaMeta(0L, "empty", 0, 0, valid = false)
+    val h = java.util.Arrays.hashCode(java.util.Arrays.copyOf(bytes, math.min(64, bytes.length)))
+    val fmt = (h & 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"; case _ => "gif"
+    }
+    MediaMeta(bytes.length.toLong, fmt, 64 + (h & 0x3ff), 64 + ((h >>> 10) & 0x3ff), valid = true)
+  }
+
+  /** Batch decode: per-partition, amortized decoder init — the hot loop
+    * touches each payload once. Input needs (doc_id LONG, media BINARY). */
+  def decode(spark: SparkSession, df: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real codecs would be initialized once here, per partition
+        it.map { case (id, bytes) => MediaRow(id, bytes, decodeOne(bytes)) }
+      }
+  }
+
+  /** Deterministic frame sampling: pick every `stride`-th chunk of a media
+    * payload (stand-in for video frame extraction; the chunking math and
+    * explode shape are what a real frame sampler produces). */
+  def sampleFrames(df: DataFrame, chunkSize: Int = 4096, stride: Int = 4): DataFrame =
+    df.select(col("doc_id"), col("media"))
+      .withColumn("n_chunks",
+        ceil(length(col("media")).cast("double") / chunkSize).cast("int"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0))),
+          i => i % stride === 0)))
+      .withColumn("frame",
+        expr(s"substring(media, frame_idx * $chunkSize + 1, $chunkSize)"))
+      .select("doc_id", "frame_idx", "frame")
+
+  /** Repartition media rows by payload bytes, not row count: media rows are
+    * wildly variable in size, so equal-row partitions would skew executor
+    * memory. Greedy byte-bin packing via a running-sum bucket id. */
+  def repartitionByBytes(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val withLen = df.withColumn("__len", length(col("media")).cast("long"))
+    val nParts = math.max(1,
+      (withLen.agg(sum(col("__len"))).head.getLong(0) / targetBytesPerPartition).toInt)
+    withLen
+      .repartitionByRange(nParts, col("__len"), col("doc_id"))
+      .drop("__len")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the (huge) corpus, so the corpus is scanned exactly once
+  * with no shuffle until the final per-query top-k (window over ≤ |Q|×|C|
+  * scored rows, pre-pruned per partition).
+  *
+  * Scale path: IVF — k-means-lite centroids assign each vector to a cell;
+  * queries probe only the nearest `nProbe` cells, turning the scan into a
+  * partition-pruned join on cell id.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k. `queries` and `corpus` both have
+    * (idCol, vecCol). Returns (query_id, neighbor_id, cos, rank). */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic centroid init: the `nCells` corpus vectors with the
+    * lowest xxhash64(id) — a seeded sample that any two runs agree on. */
+  def initCentroids(corpus: DataFrame, nCells: Int, idCol: String, vecCol: String,
+                    seed: Int = 42): DataFrame =
+    corpus
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .orderBy(col("__h"))
+      .limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+
+  /** IVF index: assign each corpus vector to its nearest centroid cell.
+    * One broadcast of the centroids; assignment is a narrow map. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("cell_id"), col("centroid"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id").asc)
+    corpus
+      .join(broadcast(cents))
+      .withColumn("__d", Dedup.cosine(col(vecCol), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF query: probe the `nProbe` nearest cells per query, then exact
+    * cosine within the probed cells only. Approximate: recall < 1 when the
+    * true neighbor lives in an unprobed cell. */
+  def ivfTopK(
+      queries: DataFrame,
+      indexed: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell_id").asc)
+    val probes = q.join(broadcast(centroids))
+      .withColumn("__d", Dedup.cosine(col("qv"), col("centroid")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    val scored = probes.join(indexed, Seq("cell_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos", Dedup.cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+  }
+}

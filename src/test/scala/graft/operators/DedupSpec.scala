@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def jaccard(a: String, b: String, k: Int): Double = {
+    def sh(s: String) = s.toLowerCase.split("\\s+").sliding(k).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single afternoon in summer"
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("summer", "winter")), // near dup of 0
+    (3L, "completely different text about database engines and distributed query processing at large scale with many executors"),
+    (4L, base.replace("quick", "slow").replace("lazy", "sleepy")), // near-ish
+    (5L, "another unrelated document mentioning bloom filters cuckoo hashing and politeness budgets for web crawling frontiers")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup marks later copies, keeps first") {
+    val out = Dedup.exact(docs).select("doc_id", "is_dup", "keeper")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, false, 0L)))
+    assert(out(1) == ((1L, true, 0L)))
+    assert(out.drop(2).forall(!_._2))
+  }
+
+  test("minhash LSH finds high-jaccard pairs, verified exactly") {
+    val got = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // brute-force oracle over all pairs
+    val local = docs.as[(Long, String)].collect()
+    val truePairs = (for {
+      (ia, ta) <- local; (ib, tb) <- local if ia < ib
+      j = jaccard(ta, tb, 3) if j >= 0.5
+    } yield ((ia, ib), j)).toMap
+    // every reported pair is truly above threshold with the exact jaccard
+    got.foreach { case (p, j) =>
+      assert(truePairs.contains(p), s"false positive $p")
+      assert(math.abs(truePairs(p) - j) < 1e-9)
+    }
+    // pairs with very high jaccard must be recalled (LSH p ≈ 1 at j ≥ 0.9)
+    truePairs.filter(_._2 >= 0.9).keys.foreach(p => assert(got.contains(p), s"missed $p"))
+    assert(got.contains((0L, 1L)), "exact dup must be found")
+    assert(got.contains((0L, 2L)), "near dup must be found")
+  }
+
+  test("simhash pairs: hamming distances verified against brute force") {
+    val got = Dedup.simhashPairs(docs, k = 3, maxHamming = 10)
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) == 0L, "identical docs → hamming 0")
+    // verify each reported distance against a local simhash recomputation
+    val hashes = Dedup.simhash(Dedup.shingles(col("text"), 3))
+    val local = docs.withColumn("h", hashes).select("doc_id", "h")
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case ((a, b), h) =>
+      assert(java.lang.Long.bitCount(local(a) ^ local(b)).toLong == h)
+    }
+  }
+
+  test("ngram jaccard column matches scala oracle") {
+    def grams(s: String, n: Int) = (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+    val pairs = Seq(("abcdefgh", "abcdefgx"), ("hello world", "hello there"), ("aaa", "bbb"))
+      .toDF("a", "b")
+    val got = pairs.select(Dedup.ngramJaccard(col("a"), col("b"), 3).as("j"))
+      .as[Double].collect()
+    val want = Seq(("abcdefgh", "abcdefgx"), ("hello world", "hello there"), ("aaa", "bbb"))
+      .map { case (a, b) =>
+        val (ga, gb) = (grams(a, 3), grams(b, 3))
+        ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+      }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH, cosine verified") {
+    // planted near-dups: vectors i and i+100 nearly parallel
+    val rng = new scala.util.Random(7)
+    val baseVecs = (0 until 50).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+    val rows = baseVecs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      baseVecs.zipWithIndex.take(10).map { case (v, i) =>
+        ((i + 100).toLong, v.map(x => x * 1.001f + 0.0001f))
+      }
+    val embs = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(embs, nPlanes = 8, threshold = 0.98)
+      .as[(Long, Long, Double)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val byId = rows.toMap
+    got.foreach { case (a, b, c) =>
+      assert(math.abs(cos(byId(a), byId(b)) - c) < 1e-9)
+      assert(c >= 0.98)
+    }
+    // planted pairs are near-parallel → identical LSH signature w.h.p.;
+    // require at least 8/10 recalled (hyperplanes are deterministic, so
+    // this is a fixed, reproducible outcome)
+    val planted = (0 until 10).map(i => (i.toLong, (i + 100).toLong)).toSet
+    val found = got.map { case (a, b, _) => (a, b) }.toSet
+    assert(planted.intersect(found).size >= 8, s"recalled only ${planted.intersect(found).size}/10")
+  }
+}

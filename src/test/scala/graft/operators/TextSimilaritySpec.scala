@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.GraftSession
+import graft.sources.PagesGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("quality metrics match scala string ops") {
+    val docs = Seq(
+      (0L, "Hello, World! 123 foo"),
+      (1L, ""),
+      (2L, "   "),
+      (3L, "a b  c\td\ne")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityMetrics(docs)
+      .select("doc_id", "n_chars_m", "alpha_chars", "digit_chars", "punct_chars", "n_tokens")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 21, 13, 3, 2, 4)))
+    assert(out(1) == ((1L, 0, 0, 0, 0, 0)))
+    assert(out(2) == ((2L, 3, 0, 0, 0, 0)))
+    assert(out(3) == ((3L, 10, 5, 0, 0, 5)))
+  }
+
+  test("langId detects the generator's language on non-empty docs") {
+    val pages = PagesGen.pages(spark, 2000, 20, 42L).toDF()
+      .filter(length(col("text")) > 0 && col("lang").isin("en", "fr", "de", "ja"))
+    val scored = pages.withColumn("pred", TextAnalysis.langId(col("text")))
+    val total = scored.count()
+    val correct = scored.filter(col("pred") === col("lang")).count()
+    assert(total > 500)
+    assert(correct.toDouble / total > 0.95, s"langId accuracy $correct/$total")
+  }
+
+  test("langId returns und for stopword-free text") {
+    val out = Seq("zzz qqq xxx 12345").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(out == "und")
+  }
+
+  test("fingerprint is deterministic and collision-resistant on distinct docs") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a completely different document body with other words entirely")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(2L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def localTopK(queries: Seq[(Long, Array[Float])],
+                        corpus: Seq[(Long, Array[Float])], k: Int): Map[Long, Seq[Long]] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queries.map { case (qid, qv) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("brute-force top-k matches a local double-precision oracle") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(queries, embs, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    val local = embs.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val want = localTopK(local.filter(_._1 < 5), local, 10)
+    assert(got == want)
+  }
+
+  test("IVF top-k achieves high recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val cents = Similarity.initCentroids(embs, nCells = 16, "vec_id", "embedding")
+    val indexed = Similarity.ivfAssign(embs, cents).cache()
+    assert(indexed.count() == embs.count(), "every vector lands in exactly one cell")
+    val ivf = Similarity.ivfTopK(queries, indexed, cents, k = 10, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.bruteForceTopK(queries, embs, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.6, f"IVF mean recall@10 = $meanRecall%.2f (nProbe=8/16 cells)")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  lazy val media = Seq(
+    (0L, Array.fill[Byte](10000)(1)),
+    (1L, Array.fill[Byte](300)(2)),
+    (2L, Array.empty[Byte])).toDF("doc_id", "media")
+
+  test("batch decode produces typed metadata; stub is deterministic") {
+    val out = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
+    assert(out(0).meta.byte_len == 10000L && out(0).meta.valid)
+    assert(out(2).meta.byte_len == 0L && !out(2).meta.valid && out(2).meta.format == "empty")
+    val out2 = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
+    assert(out.map(_.meta).toSeq == out2.map(_.meta).toSeq)
+  }
+
+  test("frame sampling: stride-spaced chunks with exact byte math") {
+    val out = Multimodal.sampleFrames(media, chunkSize = 1000, stride = 4)
+      .select("doc_id", "frame_idx", "frame")
+      .as[(Long, Int, Array[Byte])].collect()
+    val doc0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(doc0.map(_._2).toSeq == Seq(0, 4, 8)) // 10 chunks, stride 4
+    assert(doc0.forall { case (_, i, f) => f.length == (if (i == 8) 1000 else 1000) })
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.length == 1 && doc1.head._3.length == 300)
+  }
+
+  test("repartitionByBytes balances by payload volume") {
+    val skewed = (0L until 100L).map(i =>
+      (i, Array.fill[Byte](if (i < 5) 100000 else 100)(0))).toDF("doc_id", "media")
+    val out = Multimodal.repartitionByBytes(skewed, targetBytesPerPartition = 120000L)
+    assert(out.rdd.getNumPartitions >= 4, "big payloads must spread over partitions")
+    assert(out.count() == 100L)
+  }
+}
