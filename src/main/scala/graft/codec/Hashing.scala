@@ -1,0 +1,199 @@
+package graft.codec
+
+/** Pure-Scala XXH64 (public spec: xxHash by Yann Collet, BSD) plus the
+  * shingle/minhash/simhash kernels used by the dedup expressions. One-pass
+  * imperative implementations — these sit on the per-row hot path of the
+  * near-dup pipelines, where interpreted higher-order-function expressions
+  * are 50-100× slower.
+  */
+object Hashing {
+
+  private final val P1 = -7046029288634856825L // 11400714785074694791
+  private final val P2 = -4417276706812531889L // 14029467366897019727
+  private final val P3 = 1609587929392839161L
+  private final val P4 = -8796714831421723037L // 9650029242287828579
+  private final val P5 = 2870177450012600261L
+
+  def xxh64(data: Array[Byte], seed: Long): Long = {
+    val len = data.length
+    var idx = 0
+    var hash =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (idx + 32 <= len) {
+          v1 = round(v1, readLong(data, idx))
+          v2 = round(v2, readLong(data, idx + 8))
+          v3 = round(v3, readLong(data, idx + 16))
+          v4 = round(v4, readLong(data, idx + 24))
+          idx += 32
+        }
+        var h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        h = mergeRound(h, v1); h = mergeRound(h, v2)
+        h = mergeRound(h, v3); h = mergeRound(h, v4)
+        h
+      } else seed + P5
+    hash += len
+    while (idx + 8 <= len) {
+      hash ^= round(0L, readLong(data, idx))
+      hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+      idx += 8
+    }
+    if (idx + 4 <= len) {
+      hash ^= (readInt(data, idx) & 0xffffffffL) * P1
+      hash = java.lang.Long.rotateLeft(hash, 23) * P2 + P3
+      idx += 4
+    }
+    while (idx < len) {
+      hash ^= (data(idx) & 0xffL) * P5
+      hash = java.lang.Long.rotateLeft(hash, 11) * P1
+      idx += 1
+    }
+    hash ^= hash >>> 33
+    hash *= P2
+    hash ^= hash >>> 29
+    hash *= P3
+    hash ^ (hash >>> 32)
+  }
+
+  @inline private def round(acc: Long, input: Long): Long =
+    java.lang.Long.rotateLeft(acc + input * P2, 31) * P1
+
+  @inline private def mergeRound(acc0: Long, v: Long): Long = {
+    val acc = acc0 ^ round(0L, v)
+    acc * P1 + P4
+  }
+
+  @inline private def readLong(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) | ((b(i + 6) & 0xffL) << 48) | ((b(i + 7) & 0xffL) << 56)
+
+  @inline private def readInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  def xxh64(s: String, seed: Long): Long =
+    xxh64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  // --- document kernels ----------------------------------------------------
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Base hashes of the k-word shingles (single pass, one string build per
+    * shingle). Empty input → empty array. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length == 0) return Array.emptyLongArray
+    val n = math.max(1, ts.length - k + 1)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k && i + j < ts.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(i + j))
+        j += 1
+      }
+      out(i) = xxh64(sb.toString, 0L)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature via the Kirsch-Mitzenmacher construction:
+    * g_i(x) = h1(x) + i*h2(x); one base hash per shingle, one pass.
+    * Empty shingle set → signature of Long.MaxValue. */
+  def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h1 = hs(i)
+      // second hash: finalizer-mixed variant of h1
+      var h2 = h1 ^ (h1 >>> 33)
+      h2 *= P2
+      h2 ^= h2 >>> 29
+      h2 *= P3
+      h2 ^= h2 >>> 32
+      var p = 0
+      var g = h1
+      while (p < numHashes) {
+        if (g < sig(p)) sig(p) = g
+        g += h2
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over k-word shingle hashes: majority vote per bit. */
+  def simhash64(text: String, k: Int): Long = {
+    val hs = shingleHashes(text, k)
+    if (hs.length == 0) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= hs.length) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard similarity of the k-word shingle sets of two texts,
+    * via 64-bit shingle hashes (collision probability negligible) — one
+    * tokenize+hash pass per side, hashset intersection. */
+  def jaccardShingles(a: String, b: String, k: Int): Double = {
+    val ha = shingleHashes(a, k)
+    val hb = shingleHashes(b, k)
+    if (ha.isEmpty && hb.isEmpty) return 0.0
+    val sa = new java.util.HashSet[Long](ha.length * 2)
+    var i = 0
+    while (i < ha.length) { sa.add(ha(i)); i += 1 }
+    val sb = new java.util.HashSet[Long](hb.length * 2)
+    i = 0
+    while (i < hb.length) { sb.add(hb(i)); i += 1 }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  /** Cosine similarity of two float vectors, each accumulator a sequential
+    * double fold — bitwise-identical to the DuckDB oracle's
+    * list_sum(list_transform(...)) evaluation order. */
+  def cosineF32(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

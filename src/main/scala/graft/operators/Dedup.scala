@@ -26,22 +26,16 @@ object Dedup {
 
   // --- MinHash + LSH ------------------------------------------------------
 
-  /** Word k-shingles of a document, lowercase. */
+  /** Word k-shingles of a document, lowercase (trim first so tokenization
+    * matches the Hashing kernel's empty-token filtering). */
   def shingles(c: Column, k: Int): Column = {
-    val words = split(lower(c), "\\s+")
+    val words = split(trim(lower(c)), "\\s+")
     // sliding window of k words, joined by space
     filter(
       transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
         i => concat_ws(" ", slice(words, i + 1, lit(k)))),
       s => length(s) > 0)
   }
-
-  /** MinHash signature of a set of shingles: for each of `numHashes`
-    * seeded xxhash64 permutations, the minimum hash over the shingles.
-    * Pure built-in expressions — stays inside codegen, no UDF. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingleCol, s => xxhash64(s, i))))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band → (band_id, bucket) candidate keys. */
@@ -70,14 +64,15 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucket: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.minhash_sig
     val rowsPerBand = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val sigOnly = withSig.select(col("id"), col("sh"), col("sig")).cache()
+    val base = docs
+      .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
+      .filter(length(col("t")) > 0)
+      .cache()
+    val withSig = base.withColumn("sig", minhash_sig(col("t"), k, numHashes))
 
-    val buckets = sigOnly
+    val buckets = withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
       .groupBy(col("bk"))
       .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
@@ -90,36 +85,20 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
-    // exact jaccard verification on candidate pairs
-    val shA = sigOnly.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sigOnly.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // exact jaccard verification (hash-set kernel): texts joined back only
+    // for docs that appear in candidate pairs
+    val tA = base.select(col("id").as("id_a"), col("t").as("t_a"))
+    val tB = base.select(col("id").as("id_b"), col("t").as("t_b"))
     pairs
-      .join(shA, "id_a")
-      .join(shB, "id_b")
+      .join(tA, "id_a")
+      .join(tB, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.GraftFunctions.jaccard_shingles(col("t_a"), col("t_b"), k))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   // --- SimHash ------------------------------------------------------------
-
-  /** 64-bit SimHash over word shingles: per bit, sum ±1 weighted by shingle
-    * hash bits; sign → bit. Expressed with built-in higher-order functions
-    * (aggregate over the shingle array). */
-  def simhash(shingleCol: Column): Column = {
-    // For each of 64 bits: count shingles with that bit set, compare to half
-    import graft.functions.GraftFunctions.{shiftleft_dyn, shiftright_dyn}
-    val hashes = transform(shingleCol, s => xxhash64(s))
-    val n = size(hashes)
-    val bitSums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(hashes, lit(0L), (acc, h) => acc + shiftright_dyn(h, b).bitwiseAND(lit(1L))))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)), (s, b) =>
-        when(s * 2 >= n.cast("long"), shiftleft_dyn(lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -135,9 +114,9 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
     val withHash = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("h", simhash(col("sh")))
+      .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("h", graft.functions.GraftFunctions.simhash64(col("t"), k))
       .select("id", "h")
       .cache()
     import graft.functions.GraftFunctions.shiftright_dyn
@@ -169,16 +148,10 @@ object Dedup {
 
   // --- Embedding near-dup ---------------------------------------------------
 
-  /** Cosine similarity of two float-array columns, accumulated in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, accumulated in double —
+    * a native codegen'd expression (graft.functions.CosineSim). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** Embedding near-dup pairs via random-hyperplane LSH: `nPlanes` signed
     * projections → bit signature; block on the signature; verify cosine

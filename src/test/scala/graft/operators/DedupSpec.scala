@@ -58,10 +58,9 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.simhashPairs(docs, k = 3, maxHamming = 10)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
     assert(got.contains((0L, 1L)) && got((0L, 1L)) == 0L, "identical docs → hamming 0")
-    // verify each reported distance against a local simhash recomputation
-    val hashes = Dedup.simhash(Dedup.shingles(col("text"), 3))
-    val local = docs.withColumn("h", hashes).select("doc_id", "h")
-      .as[(Long, Long)].collect().toMap
+    // verify each reported distance against a driver-side kernel recompute
+    val local = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> graft.codec.Hashing.simhash64(t, 3) }.toMap
     got.foreach { case ((a, b), h) =>
       assert(java.lang.Long.bitCount(local(a) ^ local(b)).toLong == h)
     }
