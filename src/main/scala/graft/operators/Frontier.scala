@@ -55,18 +55,19 @@ object Frontier {
     * entirely; only possible members join (left-anti, exact). At 10^10
     * urls the Bloom is built per-partition and OR-merged by
     * `stat.bloomFilter`'s TypedImperativeAggregate, then broadcast once. */
-  def dedupeAgainstSeen(candidates: DataFrame, seen: Option[DataFrame], cfg: Config): DataFrame =
+  def dedupeAgainstSeen(candidates: DataFrame, seen: Option[DataFrame], cfg: Config,
+                        seenCountHint: Long = -1L): DataFrame =
     seen match {
       case None => candidates
       case Some(s) =>
         val seenHashes = s.select(col("url_hash"))
-        val seenCount = math.max(1L, seenHashes.count())
+        val seenCount = if (seenCountHint > 0) seenCountHint
+          else math.max(1L, seenHashes.count())
         val bloom = seenHashes.stat.bloomFilter("url_hash", seenCount, cfg.bloomFpp)
         val bloomBc = candidates.sparkSession.sparkContext.broadcast(bloom)
-        val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
-        val flagged = candidates.withColumn("__maybe_seen", mightContain(col("url_hash")))
-        val definitelyNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
-        val needExact = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
+        val maybeSeen = graft.functions.GraftFunctions.bloom_might_contain(col("url_hash"), bloomBc)
+        val definitelyNew = candidates.filter(!maybeSeen)
+        val needExact = candidates.filter(maybeSeen)
           .join(seenHashes, Seq("url_hash"), "left_anti")
         definitelyNew.unionByName(needExact)
     }
@@ -153,7 +154,12 @@ object Frontier {
       case None => df.withColumn("__budget", lit(cfg.defaultBudget))
     }
     val order = Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc)
-    val salted = withBudget.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
+    // phase 0 — shuffle-free partial top-k: within each existing partition
+    // keep ≤ budget rows per host (any global top-budget row is in its
+    // partition's top-budget), so the exchanges below carry at most
+    // partitions × budget rows per host no matter how hot the host is
+    val pruned = localTopKPerHost(withBudget, order)
+    val salted = pruned.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
     val wA = Window.partitionBy(col("host"), col("__salt")).orderBy(order: _*)
     val phaseA = salted
       .withColumn("__rnA", row_number().over(wA))
@@ -164,6 +170,47 @@ object Frontier {
       .withColumn("batch_rank", row_number().over(wB))
       .filter(col("batch_rank") <= col("__budget"))
       .drop("__budget")
+  }
+
+  /** Map-side partial top-k per host: one pass with a bounded per-host
+    * heap (O(n log budget), no partition sort, no exchange) — output is
+    * ≤ budget rows per (partition, host). Priority matches `schedule`'s
+    * order: (depth asc, warc_ts desc, url_norm asc). */
+  private def localTopKPerHost(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val schema = df.schema
+    val hostIdx = schema.fieldIndex("host")
+    val budgetIdx = schema.fieldIndex("__budget")
+    val depthIdx = schema.fieldIndex("depth")
+    val tsIdx = schema.fieldIndex("warc_ts")
+    val urlIdx = schema.fieldIndex("url_norm")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    // max-heap on (depth, -ts, url): head = worst row, evicted when full
+    val worstFirst = new Ordering[org.apache.spark.sql.Row] {
+      def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+        val d = Integer.compare(a.getInt(depthIdx), b.getInt(depthIdx))
+        if (d != 0) return d
+        val t = java.lang.Long.compare(b.getTimestamp(tsIdx).getTime, a.getTimestamp(tsIdx).getTime)
+        if (t != 0) return t
+        a.getString(urlIdx).compareTo(b.getString(urlIdx))
+      }
+    }
+    df.mapPartitions { it =>
+      val heaps = new java.util.HashMap[String, java.util.PriorityQueue[org.apache.spark.sql.Row]]()
+      it.foreach { r =>
+        val budget = r.getInt(budgetIdx)
+        var heap = heaps.get(r.getString(hostIdx))
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[org.apache.spark.sql.Row](
+            budget + 1, worstFirst.reverse)
+          heaps.put(r.getString(hostIdx), heap)
+        }
+        heap.add(r)
+        if (heap.size > budget) heap.poll()
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    }
   }
 
   /** Outlink extraction from page text (frontier growth between rounds). */

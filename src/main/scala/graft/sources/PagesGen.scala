@@ -153,6 +153,24 @@ object PagesGen extends Serializable {
     }
   }
 
+  /** URLs-only frontier rows (url, warc_ts, depth) — the scheduling
+    * pipeline's input shape without the body-generation cost, for
+    * frontier-scale benchmarks (a 10^10-URL frontier is urls+metadata;
+    * bodies live in the pages table). */
+  def urls(spark: SparkSession, n: Long, nHosts: Int = 100, seed: Long = 42L,
+           partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, parts).mapPartitions { it =>
+      it.map { id =>
+        val tsOffset = mix64(seed ^ (id * 17)).abs % 10000000L
+        (dirtyUrl(id, nHosts, seed),
+          new Timestamp((BaseEpochSec + tsOffset) * 1000L),
+          (id % 4).toInt)
+      }
+    }.toDF("url", "warc_ts", "depth")
+  }
+
   /** Seed list for frontier rounds: the clean urls of the first `k` ids
     * spread across hosts (FIXTURES.md §2). */
   def seeds(n: Long, k: Int, nHosts: Int = 100, seed: Long = 42L): Seq[String] =

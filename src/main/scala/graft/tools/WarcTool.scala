@@ -62,8 +62,22 @@ object WarcTool {
       } finally in.close()
       counts.toSeq.sortBy(_._1).foreach { case (ct, n) => println(s"$ct: $n") }
 
+    case "write" :: nStr :: outDir :: rest =>
+      // distributed sink drive: synthetic pages → rotated .warc.gz files
+      val n = nStr.toLong
+      val perFile = rest.headOption.map(_.toInt).getOrElse(200)
+      val spark = graft.GraftSession.local(8)
+      val pages = graft.sources.PagesGen.pages(spark, n, 20, 42L).toDF()
+      val files = graft.sources.WarcIO.writePages(pages, outDir, recordsPerFile = perFile)
+      val back = graft.sources.WarcIO.readRecords(spark, outDir)
+      val bad = back.filter(org.apache.spark.sql.functions.col("block_digest") =!=
+        org.apache.spark.sql.functions.col("computed_digest")).count()
+      println(s"wrote $files warc files, ${back.count()} records read back, $bad digest mismatches")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+
     case _ =>
-      System.err.println("usage: WarcTool verify <file>… | extract <file> <outDir>")
+      System.err.println("usage: WarcTool verify <file>… | extract <file> <outDir> | write <n> <outDir> [recordsPerFile]")
       sys.exit(2)
   }
 }

@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class WarcIOSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("pages → rotated .warc.gz → parse back: byte-identical roundtrip") {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val pages = PagesGen.pages(spark, 500, 10, 42L).toDF().repartition(3)
+    val nFiles = WarcIO.writePages(pages, dir, recordsPerFile = 100)
+    assert(nFiles >= 3, s"expected rotation across tasks, got $nFiles files")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".open")),
+      "all files must be atomically renamed from .open")
+
+    val back = WarcIO.readRecords(spark, dir).cache()
+    val info = back.filter(col("warc_type") === "warcinfo")
+    assert(info.count() == nFiles, "one warcinfo per file")
+    val responses = back.filter(col("warc_type") === "response")
+    assert(responses.count() == 500L)
+    // every record re-digests to its stored block digest
+    assert(back.filter(col("block_digest") =!= col("computed_digest")).count() == 0L)
+    // payload decode is byte-identical to the original text column
+    // (urls repeat across pages with different bodies, so compare the
+    // multiset of text digests rather than joining on url)
+    def digestCounts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("d")).count().as[(String, Long)].collect().toMap
+    val got = digestCounts(responses
+      .select(sha2(http_extract_text(col("content")), 256).as("d")))
+    val want = digestCounts(pages.select(sha2(col("text"), 256).as("d")))
+    assert(got == want, "extracted text multiset must match original bytes")
+  }
+
+  test("warcinfo + filename discipline matches reference shape") {
+    val dir = Files.createTempDirectory("graft-warc2").toString
+    WarcIO.writePages(PagesGen.pages(spark, 20, 5, 42L).toDF().coalesce(1), dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    assert(f.getName.matches("GRAFT-\\d{14}-\\d{5}-\\d{5}\\.warc\\.gz"))
+    val recs = WarcIO.readRecords(spark, dir)
+    val wi = recs.filter(col("warc_type") === "warcinfo")
+      .select("headers").as[Map[String, String]].head()
+    assert(wi("WARC-Filename") == f.getName)
+    assert(wi("Content-Type") == "application/warc-fields")
+  }
+}
