@@ -116,7 +116,8 @@ object Crawl {
       robots: Option[DataFrame] = None,
       politeness: Option[DataFrame] = None,
       cfg: Frontier.Config = Frontier.Config(),
-      stateDir: Option[String] = None): CrawlResult = {
+      stateDir: Option[String] = None,
+      warcDir: Option[String] = None): CrawlResult = {
     import spark.implicits._
 
     val seenTable = stateDir.map(_ + "/seen")
@@ -145,6 +146,10 @@ object Crawl {
       else {
         val out = round(frontier, seen, web, robots, politeness, cfg)
         allCounters :+= out.counters
+        // optional archival sink: the round's captures as rotated WARC
+        // (responses + truncated revisit records, K3 semantics)
+        warcDir.foreach(d =>
+          graft.sources.WarcIO.writeFetched(out.fetched, s"$d/round-$r"))
         allFetched = allFetched match {
           case None => Some(out.fetched)
           case Some(prev) => Some(prev.unionByName(out.fetched))

@@ -53,16 +53,62 @@ object WarcIO {
     ), body), now)
   }
 
+  /** Revisit record for a dup capture (J4,
+    * /root/reference/dialer.go:516-623): content truncated to the HTTP
+    * headers, refers-to pointers + identical-payload-digest profile. */
+  def revisitRecord(url: String, ts: java.sql.Timestamp, html: Array[Byte],
+                    payloadDigest: String, refersToUrl: String,
+                    refersToTs: java.sql.Timestamp): WarcRecord = {
+    val eoh = HttpCodec.endOfHeaders(html)
+    val truncated = if (eoh > 0) java.util.Arrays.copyOf(html, eoh) else html
+    WarcCodec.withDefaults(WarcRecord("WARC/1.1", Map(
+      "WARC-Type" -> "revisit",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime)),
+      "WARC-Refers-To-Target-URI" -> refersToUrl,
+      "WARC-Refers-To-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(refersToTs.getTime)),
+      "WARC-Profile" -> "http://netpreservation.org/warc/1.1/revisit/identical-payload-digest",
+      "WARC-Truncated" -> "length",
+      "WARC-Payload-Digest" -> ("sha1:" + payloadDigest),
+      "Content-Type" -> "application/http; msgtype=response"
+    ), truncated), Instant.ofEpochMilli(ts.getTime))
+  }
+
+  /** Write a crawl round's fetched rows (Crawl.round output shape) as WARC:
+    * non-revisits become response records, revisits become truncated
+    * revisit records referencing the first capture. */
+  def writeFetched(fetched: DataFrame, dir: String, prefix: String = "GRAFT",
+                   recordsPerFile: Int = 1000): Long = {
+    val projected = fetched.select(
+      col("url_norm"), col("page_ts"), col("html"), col("is_revisit"),
+      col("payload_digest"), col("refers_to_url"), col("refers_to_ts"))
+    writeRecordFiles(projected, dir, prefix, recordsPerFile) { row =>
+      if (row.getBoolean(3))
+        revisitRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2),
+          row.getString(4), row.getString(5), row.getTimestamp(6))
+      else pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
+    }
+  }
+
   /** Write a pages DataFrame (url, warc_ts, html, …) as rotated .warc.gz
     * files under `dir`. Returns the file count. One writer per partition —
     * the writer-pool parallelism model (repartition upstream to choose N). */
   def writePages(pages: DataFrame, dir: String, prefix: String = "GRAFT",
-                 recordsPerFile: Int = 1000): Long = {
-    val spark = pages.sparkSession
+                 recordsPerFile: Int = 1000): Long =
+    writeRecordFiles(pages.select(col("url"), col("warc_ts"), col("html")),
+      dir, prefix, recordsPerFile) { row =>
+      pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
+    }
+
+  /** Shared rotated-file writer: one writer per partition, `.open` rename
+    * discipline, per-record gzip members, warcinfo per file. */
+  private def writeRecordFiles(df: DataFrame, dir: String, prefix: String,
+                               recordsPerFile: Int)(
+      rowToRecord: org.apache.spark.sql.Row => WarcRecord): Long = {
+    val spark = df.sparkSession
     new java.io.File(dir).mkdirs()
     val written = spark.sparkContext.longAccumulator("warc_files")
-    pages.select(col("url"), col("warc_ts"), col("html"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         var serial = 0
         var count = 0
@@ -90,9 +136,14 @@ object WarcIO {
         }
         try {
           it.foreach { row =>
-            val ts = Instant.ofEpochMilli(row.getTimestamp(1).getTime)
-            if (out == null) openFile(ts)
-            gzMember(pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2)))
+            val rec = rowToRecord(row)
+            if (out == null) {
+              val ts = rec.headers.get("WARC-Date")
+                .map(d => Instant.parse(d))
+                .getOrElse(Instant.ofEpochSecond(graft.sources.PagesGen.BaseEpochSec))
+              openFile(ts)
+            }
+            gzMember(rec)
             count += 1
             if (count >= recordsPerFile) closeFile()
           }

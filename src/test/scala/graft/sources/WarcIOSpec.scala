@@ -36,6 +36,36 @@ class WarcIOSpec extends AnyFunSuite {
     assert(got == want, "extracted text multiset must match original bytes")
   }
 
+  test("crawl round → WARC: revisits written as truncated refers-to records") {
+    import graft.operators.{Crawl, Frontier}
+    val dir = Files.createTempDirectory("graft-warc3").toString
+    // low dedupe threshold so the generator's dup-body clusters revisit
+    val cfg = Frontier.Config(defaultBudget = 1000, sizeThreshold = 100)
+    val pages = PagesGen.pages(spark, 2000, 10, 42L).toDF()
+    val web = Crawl.asWeb(pages)
+    val frontier = Frontier.canonicalize(pages)
+      .select(col("url_norm").as("url"))
+      .withColumn("depth", lit(0))
+      .withColumn("warc_ts", lit(new java.sql.Timestamp(PagesGen.BaseEpochSec * 1000L)))
+    val out = Crawl.round(frontier, None, web, None, None, cfg, withCounters = true)
+    assert(out.counters("revisits") > 0, "generator dup clusters must produce revisits")
+    val n = WarcIO.writeFetched(out.fetched, dir, recordsPerFile = 500)
+    assert(n >= 1)
+    val back = WarcIO.readRecords(spark, dir).cache()
+    assert(back.filter(col("block_digest") =!= col("computed_digest")).count() == 0L)
+    val revisits = back.filter(col("warc_type") === "revisit")
+    assert(revisits.count() == out.counters("revisits"))
+    val rv = revisits.select("headers", "content")
+      .as[(Map[String, String], Array[Byte])].head()
+    assert(rv._1.contains("WARC-Refers-To-Target-URI"))
+    assert(rv._1("WARC-Profile").endsWith("identical-payload-digest"))
+    assert(rv._1("WARC-Truncated") == "length")
+    // content truncated at end of HTTP headers
+    assert(graft.codec.HttpCodec.endOfHeaders(rv._2) == rv._2.length || rv._2.isEmpty)
+    val responses = back.filter(col("warc_type") === "response").count()
+    assert(responses == out.counters("fetched") - out.counters("revisits"))
+  }
+
   test("warcinfo + filename discipline matches reference shape") {
     val dir = Files.createTempDirectory("graft-warc2").toString
     WarcIO.writePages(PagesGen.pages(spark, 20, 5, 42L).toDF().coalesce(1), dir)
