@@ -453,6 +453,24 @@ object Queries {
         | FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "t03_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','auf','sich'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','that','it','is','was','for'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','dans','que','une','pour'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('これ','それ','です','ます','した','ない','ある','する','いる','この'))) AS s_ja
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_fr, s_ja) = 0 THEN 'und'
+        |      WHEN s_ja = greatest(s_de, s_en, s_fr, s_ja) THEN 'ja'
+        |      WHEN s_fr = greatest(s_de, s_en, s_fr, s_ja) THEN 'fr'
+        |      WHEN s_en = greatest(s_de, s_en, s_fr, s_ja) THEN 'en'
+        |      ELSE 'de' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (
