@@ -63,6 +63,51 @@ object Bench {
     Headline(nUrls / schedSec, bytesTotal / 1e6 / extractSec, schedSec, extractSec, nPages)
   }
 
+  /** Single-thread micro-benches mirroring the reference's defined bench
+    * shapes (BASELINE.md): read = full-stream parse + per-record SHA-1
+    * block-digest recheck of the golden fixture
+    * (/root/reference/read_test.go:334-376); write = serialize + per-record
+    * gzip member of the same records (/root/reference/client_test.go:1807+).
+    * Returns (read MB/s, write MB/s) over the uncompressed record bytes. */
+  def codecMicro(): (Double, Double) = {
+    val gz = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/testdata/test.warc.gz"))
+    def parseOnce(): Vector[graft.codec.WarcRecord] = {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(gz), 1 << 16)
+      try graft.codec.WarcCodec.readAll(in) finally in.close()
+    }
+    val recs = parseOnce()
+    val rawBytes = recs.map(_.content.length.toLong).sum
+    // warmup + timed read loop (parse + digest recheck, like the reference)
+    (1 to 50).foreach(_ => parseOnce().foreach(_.computedBlockDigest))
+    val n = 300
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) {
+      parseOnce().foreach(r => require(r.computedBlockDigest == r.blockDigest))
+      i += 1
+    }
+    val readSec = (System.nanoTime() - t0) / 1e9
+    // timed write loop (serialize + fresh gzip member per record)
+    (1 to 50).foreach(_ => recs.foreach { r =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(graft.codec.WarcCodec.serialize(r)); g.close()
+    })
+    val t1 = System.nanoTime()
+    i = 0
+    while (i < n) {
+      recs.foreach { r =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(graft.codec.WarcCodec.serialize(r)); g.close()
+      }
+      i += 1
+    }
+    val writeSec = (System.nanoTime() - t1) / 1e9
+    (rawBytes * n / 1e6 / readSec, rawBytes * n / 1e6 / writeSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -80,11 +125,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val h = headline(spark, nPages)
+    val (readMBps, writeMBps) = codecMicro()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + h.scheduleSec + h.extractSec
     println(
-      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f}""")
+      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f}""")
     spark.stop()
   }
 }

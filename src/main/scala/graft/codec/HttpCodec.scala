@@ -126,7 +126,10 @@ object HttpCodec {
   }
 
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    // inflater buffer sized to the payload (default 512 costs ~1.5× on
+    // the hot extraction path)
+    val bufSize = math.max(4096, math.min(bytes.length, 1 << 16))
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes), bufSize)
     val out = new ByteArrayOutputStream(bytes.length * 4)
     val buf = new Array[Byte](8192)
     var r = in.read(buf)

@@ -99,13 +99,20 @@ object WarcCodec {
     Some(WarcRecord(version, headers, content))
   }
 
-  /** Parse a whole stream into records. */
+  /** Parse a whole stream into records. Buffers the input once — the
+    * header scanner reads byte-at-a-time, which must never hit the
+    * decompressor directly. */
   def readAll(in: InputStream): Vector[WarcRecord] = {
+    val buffered = in match {
+      case b: java.io.BufferedInputStream => b
+      case b: java.io.ByteArrayInputStream => b: InputStream
+      case other => new java.io.BufferedInputStream(other, 1 << 16)
+    }
     val out = Vector.newBuilder[WarcRecord]
-    var r = readRecord(in)
+    var r = readRecord(buffered)
     while (r.isDefined) {
       out += r.get
-      r = readRecord(in)
+      r = readRecord(buffered)
     }
     out.result()
   }

@@ -161,7 +161,7 @@ object WarcIO {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
     files.flatMap { case (path, bytes) =>
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 1 << 16)
       try WarcCodec.readAll(in).map { r =>
         (path, r.version, r.warcType, r.targetUri,
           r.headers.getOrElse("WARC-Date", ""), r.contentLength,

@@ -18,7 +18,7 @@ object WarcTool {
 
   private def open(path: String): java.io.InputStream = {
     val raw = new FileInputStream(path)
-    if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
   }
 
   def main(args: Array[String]): Unit = args.toList match {
