@@ -155,6 +155,17 @@ object WarcCodec {
     rec.copy(headers = h)
   }
 
+  /** Deterministic record id for a (target-uri, warc-date) pair — the
+    * engine's replacement for the reference's random uuids (F7): the same
+    * capture always gets the same `<urn:uuid:…>`, so a revisit record can
+    * compute its first capture's `WARC-Refers-To` id
+    * (/root/reference/dialer.go:521-523) without re-reading that record. */
+  def recordIdFor(targetUri: String, warcDate: String): String = {
+    val seed = Digests.sha1(s"record-id|$targetUri|$warcDate".getBytes(UTF_8))
+    val hex = seed.take(16).map(b => f"${b & 0xff}%02x").mkString
+    s"<urn:uuid:${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20, 32)}>"
+  }
+
   /** Go RFC3339Nano: fractional seconds with trailing zeros trimmed, no
     * dot when the fraction is zero (SURVEY.md F6). */
   def formatRfc3339Nano(t: Instant): String = {

@@ -69,7 +69,9 @@ object Crawl {
       .withColumn("payload_len", length(col("payload")).cast("long"))
       .withColumn("payload_digest", sha1_base32(col("payload")))
       .drop("payload")
-    val fetched = Frontier.digestDedup(fetched0, cfg)
+    // refers_to_ts must be the first capture's *capture* time (page_ts) so a
+    // revisit's WARC-Refers-To id matches the response record it references
+    val fetched = Frontier.digestDedup(fetched0, cfg, captureTsCol = "page_ts")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // link discovery from non-revisit fetches; discovery recency = the

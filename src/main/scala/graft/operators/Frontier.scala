@@ -77,7 +77,7 @@ object Frontier {
     * (WARC-Refers-To semantics). Exemptions: payloads under the size
     * threshold and the empty payload are never deduped. Expects columns
     * (payload_digest, payload_len, url_norm, warc_ts). */
-  def digestDedup(df: DataFrame, cfg: Config): DataFrame = {
+  def digestDedup(df: DataFrame, cfg: Config, captureTsCol: String = "warc_ts"): DataFrame = {
     // exempt rows must not occupy ranks in a digest group, so the window
     // runs over eligible rows only and exempt rows are unioned back
     val eligible = coalesce(
@@ -89,7 +89,7 @@ object Frontier {
     val marked = df.filter(eligible)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__first_url", first(col("url_norm")).over(w))
-      .withColumn("__first_ts", first(col("warc_ts")).over(w))
+      .withColumn("__first_ts", first(col(captureTsCol)).over(w))
       .withColumn("is_revisit", col("__rn") > 1)
       .withColumn("refers_to_url", when(col("__rn") > 1, col("__first_url")))
       .withColumn("refers_to_ts", when(col("__rn") > 1, col("__first_ts")))

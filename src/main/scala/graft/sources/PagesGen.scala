@@ -31,6 +31,15 @@ object PagesGen extends Serializable {
 
   final val BaseEpochSec: Long = 1647748545L // 2022-03-20T03:55:45Z (fixture date)
 
+  /** `x.abs % m` guarded against the abs(MinValue) == MinValue overflow,
+    * which at 10^10-row scale is expected to fire (~2^-64 per draw but
+    * billions of draws). floorMod maps the single overflow case into range
+    * and is identical to `abs % m` for every other input. */
+  @inline private def absMod(x: Long, m: Long): Long =
+    java.lang.Math.floorMod(x.abs, m)
+  @inline private def absMod(x: Int, m: Int): Int =
+    java.lang.Math.floorMod(x.abs, m)
+
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -82,26 +91,26 @@ object PagesGen extends Serializable {
   def genText(id: Long, seed: Long, nPages: Long): (String, String) = {
     val r0 = mix64(seed ^ (id * 7))
     if (id % 101 == 0) return ("", langs((id % langs.length).toInt) match { case l => l }) // empty payload (dedupe exemption)
-    val lang = langs((mix64(r0) % langs.length).toInt.abs)
+    val lang = langs(absMod((mix64(r0) % langs.length).toInt, langs.length))
     val stops = stopwords(lang)
     // duplicate-body cluster: rows with id%53==0 share one of 20 bodies
     val contentSeed = if (id % 53 == 0) mix64(seed ^ (id % 20)) else r0
-    val nWords = 40 + (mix64(contentSeed ^ 1).abs % 700).toInt
+    val nWords = 40 + absMod(mix64(contentSeed ^ 1), 700L).toInt
     val sb = new java.lang.StringBuilder(nWords * 7)
     var i = 0
     var s = contentSeed
     while (i < nWords) {
       s = mix64(s)
-      if ((s & 3) == 0) sb.append(stops((s >>> 2).toInt.abs % stops.length))
-      else sb.append(java.lang.Long.toString(s.abs % 100000000L, 36))
+      if ((s & 3) == 0) sb.append(stops(absMod((s >>> 2).toInt, stops.length)))
+      else sb.append(java.lang.Long.toString(absMod(s, 100000000L), 36))
       sb.append(if (i % 13 == 12) ". " else " ")
       i += 1
     }
     // outlinks for multi-round crawls: 0-4 links to other page ids
-    val nLinks = (mix64(contentSeed ^ 2).abs % 5).toInt
+    val nLinks = absMod(mix64(contentSeed ^ 2), 5L).toInt
     i = 0
     while (i < nLinks) {
-      val target = mix64(contentSeed ^ (3 + i)).abs % nPages
+      val target = absMod(mix64(contentSeed ^ (3 + i)), nPages)
       sb.append(" <a href=\"").append(cleanUrl(target, 100, seed)).append("\">link").append(i).append("</a>")
       i += 1
     }
@@ -113,7 +122,7 @@ object PagesGen extends Serializable {
   def genPage(id: Long, nPages: Long, nHosts: Int, seed: Long): Page = {
     val (text, lang) = genText(id, seed, nPages)
     val bodyPlain = text.getBytes(UTF_8)
-    val mode = (mix64(seed ^ (id * 13)).abs % 4).toInt
+    val mode = absMod(mix64(seed ^ (id * 13)), 4L).toInt
     val headersBase = Seq("Content-Type" -> s"text/html; charset=UTF-8")
     val html = mode match {
       case 0 =>
@@ -133,7 +142,7 @@ object PagesGen extends Serializable {
         HttpCodec.buildResponse(200, "OK",
           headersBase ++ Seq("Content-Encoding" -> "gzip", "Transfer-Encoding" -> "chunked"), chunked)
     }
-    val tsOffset = mix64(seed ^ (id * 17)).abs % 10000000L
+    val tsOffset = absMod(mix64(seed ^ (id * 17)), 10000000L)
     Page(
       url = dirtyUrl(id, nHosts, seed),
       warc_ts = new Timestamp((BaseEpochSec + tsOffset) * 1000L),
@@ -163,7 +172,7 @@ object PagesGen extends Serializable {
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     spark.range(0, n, 1, parts).mapPartitions { it =>
       it.map { id =>
-        val tsOffset = mix64(seed ^ (id * 17)).abs % 10000000L
+        val tsOffset = absMod(mix64(seed ^ (id * 17)), 10000000L)
         (dirtyUrl(id, nHosts, seed),
           new Timestamp((BaseEpochSec + tsOffset) * 1000L),
           (id % 4).toInt)

@@ -1,12 +1,11 @@
 package graft.sources
 
-import graft.codec.{Digests, HttpCodec, WarcCodec, WarcRecord}
+import graft.codec.{Codecs, Digests, HttpCodec, WarcCodec, WarcRecord}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.Instant
-import java.util.zip.GZIPOutputStream
 
 /** Distributed WARC read/write — the reference's core competency as Spark
   * source/sink.
@@ -30,15 +29,21 @@ object WarcIO {
                             html: Array[Byte], text: String, lang: String)
 
   /** Serialize one page as a response record with reference-default
-    * headers; deterministic given the row. */
+    * headers; deterministic given the row. The payload digest is computed
+    * over the *decoded* body (chunked-decode → gunzip), matching the
+    * reference (/root/reference/dialer.go:482) and the digest used for
+    * dedup/revisit records — so a revisit's identical-payload-digest claim
+    * is consistent with its WARC-Refers-To response record. */
   def pageToRecord(url: String, ts: java.sql.Timestamp, html: Array[Byte]): WarcRecord = {
+    val date = WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime))
     val base = WarcRecord("WARC/1.1", Map(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> url,
-      "WARC-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime)),
+      "WARC-Date" -> date,
+      "WARC-Record-ID" -> WarcCodec.recordIdFor(url, date),
       "Content-Type" -> "application/http; msgtype=response",
       "WARC-Payload-Digest" -> ("sha1:" + Digests.sha1Base32(
-        try HttpCodec.parse(html).body catch { case _: Exception => html }))
+        try HttpCodec.decodedBody(html) catch { case _: Exception => html }))
     ), html)
     WarcCodec.withDefaults(base, Instant.ofEpochMilli(ts.getTime))
   }
@@ -61,13 +66,16 @@ object WarcIO {
                     refersToTs: java.sql.Timestamp): WarcRecord = {
     val eoh = HttpCodec.endOfHeaders(html)
     val truncated = if (eoh > 0) java.util.Arrays.copyOf(html, eoh) else html
+    val refersToDate = WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(refersToTs.getTime))
     WarcCodec.withDefaults(WarcRecord("WARC/1.1", Map(
       "WARC-Type" -> "revisit",
       "WARC-Target-URI" -> url,
       "WARC-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime)),
+      "WARC-Refers-To" -> WarcCodec.recordIdFor(refersToUrl, refersToDate),
       "WARC-Refers-To-Target-URI" -> refersToUrl,
-      "WARC-Refers-To-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(refersToTs.getTime)),
-      "WARC-Profile" -> "http://netpreservation.org/warc/1.1/revisit/identical-payload-digest",
+      "WARC-Refers-To-Date" -> refersToDate,
+      // the WARC 1.1 profile URI, /root/reference/dialer.go:525
+      "WARC-Profile" -> "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
       "WARC-Truncated" -> "length",
       "WARC-Payload-Digest" -> ("sha1:" + payloadDigest),
       "Content-Type" -> "application/http; msgtype=response"
@@ -78,11 +86,13 @@ object WarcIO {
     * non-revisits become response records, revisits become truncated
     * revisit records referencing the first capture. */
   def writeFetched(fetched: DataFrame, dir: String, prefix: String = "GRAFT",
-                   recordsPerFile: Int = 1000): Long = {
+                   recordsPerFile: Int = 1000,
+                   compression: Codecs.Compression = Codecs.GzipCompression,
+                   maxFileBytes: Long = DefaultMaxFileBytes): Long = {
     val projected = fetched.select(
       col("url_norm"), col("page_ts"), col("html"), col("is_revisit"),
       col("payload_digest"), col("refers_to_url"), col("refers_to_ts"))
-    writeRecordFiles(projected, dir, prefix, recordsPerFile) { row =>
+    writeRecordFiles(projected, dir, prefix, recordsPerFile, compression, maxFileBytes) { row =>
       if (row.getBoolean(3))
         revisitRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2),
           row.getString(4), row.getString(5), row.getTimestamp(6))
@@ -90,49 +100,59 @@ object WarcIO {
     }
   }
 
-  /** Write a pages DataFrame (url, warc_ts, html, …) as rotated .warc.gz
-    * files under `dir`. Returns the file count. One writer per partition —
-    * the writer-pool parallelism model (repartition upstream to choose N). */
+  /** Write a pages DataFrame (url, warc_ts, html, …) as rotated WARC files
+    * under `dir`. Returns the file count. One writer per partition — the
+    * writer-pool parallelism model (repartition upstream to choose N). */
   def writePages(pages: DataFrame, dir: String, prefix: String = "GRAFT",
-                 recordsPerFile: Int = 1000): Long =
+                 recordsPerFile: Int = 1000,
+                 compression: Codecs.Compression = Codecs.GzipCompression,
+                 maxFileBytes: Long = DefaultMaxFileBytes): Long =
     writeRecordFiles(pages.select(col("url"), col("warc_ts"), col("html")),
-      dir, prefix, recordsPerFile) { row =>
+      dir, prefix, recordsPerFile, compression, maxFileBytes) { row =>
       pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
     }
 
+  /** The reference rotates at WarcSize MB (default 1000 MB,
+    * /root/reference/warc.go:148-196, /root/reference/file.go:60-70). */
+  final val DefaultMaxFileBytes: Long = 1000L * 1024 * 1024
+
   /** Shared rotated-file writer: one writer per partition, `.open` rename
-    * discipline, per-record gzip members, warcinfo per file. */
+    * discipline, one compression member per record (reused codec context),
+    * warcinfo per file, rotation at `maxFileBytes` compressed bytes (the
+    * reference's size-based rotation) or `recordsPerFile` records,
+    * whichever first. */
   private def writeRecordFiles(df: DataFrame, dir: String, prefix: String,
-                               recordsPerFile: Int)(
+                               recordsPerFile: Int,
+                               compression: Codecs.Compression,
+                               maxFileBytes: Long)(
       rowToRecord: org.apache.spark.sql.Row => WarcRecord): Long = {
     val spark = df.sparkSession
     new java.io.File(dir).mkdirs()
     val written = spark.sparkContext.longAccumulator("warc_files")
+    val ext = compression.fileExt
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         var serial = 0
         var count = 0
-        var out: BufferedOutputStream = null
+        var out: Codecs.CountingOutputStream = null
+        var member: Codecs.MemberWriter = null
         var openPath: java.io.File = null
         var finalPath: java.io.File = null
-        def gzMember(rec: WarcRecord): Unit = {
-          // fresh gzip member per record (seekable members)
-          val gz = new GZIPOutputStream(out)
-          gz.write(WarcCodec.serialize(rec))
-          gz.finish()
-        }
         def openFile(firstTs: Instant): Unit = {
-          val name = f"$prefix-${java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC).format(firstTs)}-$serial%05d-$part%05d.warc.gz"
+          val name = f"$prefix-${java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC).format(firstTs)}-$serial%05d-$part%05d$ext"
           finalPath = new java.io.File(dir, name)
           openPath = new java.io.File(dir, name + ".open")
-          out = new BufferedOutputStream(new FileOutputStream(openPath), 1 << 16)
-          gzMember(warcinfo(name, firstTs))
+          out = new Codecs.CountingOutputStream(
+            new BufferedOutputStream(new FileOutputStream(openPath), 1 << 16))
+          member = Codecs.memberWriter(out, compression)
+          member.writeMember(WarcCodec.serialize(warcinfo(name, firstTs)))
         }
         def closeFile(): Unit = if (out != null) {
+          member.close()
           out.close()
           openPath.renameTo(finalPath)
           written.add(1L)
-          out = null; serial += 1; count = 0
+          out = null; member = null; serial += 1; count = 0
         }
         try {
           it.foreach { row =>
@@ -143,30 +163,51 @@ object WarcIO {
                 .getOrElse(Instant.ofEpochSecond(graft.sources.PagesGen.BaseEpochSec))
               openFile(ts)
             }
-            gzMember(rec)
+            member.writeMember(WarcCodec.serialize(rec))
             count += 1
-            if (count >= recordsPerFile) closeFile()
+            if (count >= recordsPerFile ||
+                (maxFileBytes > 0 && out.bytesWritten >= maxFileBytes)) closeFile()
           }
         } finally closeFile()
       }
     written.value
   }
 
-  /** Parallel WARC scan: one task per file, streaming multi-member gzip
-    * parse, hot headers hoisted to columns (SURVEY.md §1.2). */
+  /** Parallel WARC scan: one task per file, *streaming* parse — only file
+    * paths go through the DataFrame; each task opens its file as a stream
+    * and emits records incrementally, so a 1 GB WARC never materializes as
+    * one on-heap array. Compression is sniffed from magic bytes, never the
+    * filename (gzip/zstd/zstd+dict/bzip2/xz). */
   def readRecords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .load(dir + "/*.warc.gz")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    files.flatMap { case (path, bytes) =>
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      try WarcCodec.readAll(in).map { r =>
-        (path, r.version, r.warcType, r.targetUri,
-          r.headers.getOrElse("WARC-Date", ""), r.contentLength,
-          r.blockDigest, r.computedBlockDigest, r.headers, r.content)
-      } finally in.close()
+    val paths = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select(col("path"))
+      .as[String]
+    paths.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val raw = p.getFileSystem(conf).open(p)
+        val in = Codecs.sniffStream(new java.io.BufferedInputStream(raw, 1 << 16))
+        // streaming record iterator: one record in memory at a time
+        val bin = new java.io.BufferedInputStream(in, 1 << 16)
+        new Iterator[WarcRecord] {
+          private var nextRec = WarcCodec.readRecord(bin)
+          def hasNext: Boolean = nextRec.isDefined
+          def next(): WarcRecord = {
+            val r = nextRec.get
+            nextRec = WarcCodec.readRecord(bin)
+            if (nextRec.isEmpty) bin.close()
+            r
+          }
+        }.map { r =>
+          (path, r.version, r.warcType, r.targetUri,
+            r.headers.getOrElse("WARC-Date", ""), r.contentLength,
+            r.blockDigest, r.computedBlockDigest, r.headers, r.content)
+        }
+      }
     }.toDF("path", "version", "warc_type", "target_uri", "warc_date",
       "content_length", "block_digest", "computed_digest", "headers", "content")
   }

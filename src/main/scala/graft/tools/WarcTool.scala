@@ -1,8 +1,7 @@
 package graft.tools
 
-import graft.codec.{Digests, HttpCodec, WarcCodec}
+import graft.codec.{Codecs, Digests, HttpCodec, WarcCodec}
 import java.io.FileInputStream
-import java.util.zip.GZIPInputStream
 
 /** CLI mirroring the reference's `warc verify` / `warc extract` commands
   * (/root/reference/cmd/verify.go:36-165, /root/reference/cmd/extract.go:24-75)
@@ -16,10 +15,11 @@ import java.util.zip.GZIPInputStream
   */
 object WarcTool {
 
-  private def open(path: String): java.io.InputStream = {
-    val raw = new FileInputStream(path)
-    if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
-  }
+  /** Magic-byte sniffing — a mis-named or foreign WARC (gzip/zstd/bzip2/xz)
+    * opens correctly regardless of extension
+    * (/root/reference/decompression-reader.go:28-66). */
+  private def open(path: String): java.io.InputStream =
+    Codecs.sniffStream(new java.io.BufferedInputStream(new FileInputStream(path), 1 << 16))
 
   def main(args: Array[String]): Unit = args.toList match {
     case "verify" :: files if files.nonEmpty =>

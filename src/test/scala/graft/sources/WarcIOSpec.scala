@@ -58,12 +58,55 @@ class WarcIOSpec extends AnyFunSuite {
     val rv = revisits.select("headers", "content")
       .as[(Map[String, String], Array[Byte])].head()
     assert(rv._1.contains("WARC-Refers-To-Target-URI"))
-    assert(rv._1("WARC-Profile").endsWith("identical-payload-digest"))
+    // exact reference profile URI (/root/reference/dialer.go:525)
+    assert(rv._1("WARC-Profile") ==
+      "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest")
     assert(rv._1("WARC-Truncated") == "length")
     // content truncated at end of HTTP headers
     assert(graft.codec.HttpCodec.endOfHeaders(rv._2) == rv._2.length || rv._2.isEmpty)
     val responses = back.filter(col("warc_type") === "response").count()
     assert(responses == out.counters("fetched") - out.counters("revisits"))
+
+    // every revisit's WARC-Refers-To must name an actual response record in
+    // the archive (/root/reference/dialer.go:521-523), and that record's
+    // payload digest must equal the revisit's (identical-payload-digest)
+    val byId = back.filter(col("warc_type") === "response")
+      .select("headers").as[Map[String, String]].collect()
+      .map(h => h("WARC-Record-ID") -> h("WARC-Payload-Digest")).toMap
+    val allRevisits = revisits.select("headers").as[Map[String, String]].collect()
+    assert(allRevisits.nonEmpty)
+    allRevisits.foreach { h =>
+      val refId = h("WARC-Refers-To")
+      assert(byId.contains(refId), s"dangling WARC-Refers-To $refId")
+      assert(byId(refId) == h("WARC-Payload-Digest"),
+        "revisit payload digest must match its referred response record")
+    }
+  }
+
+  test("zstd compression: end-to-end write + sniffing read, ± dictionary") {
+    import graft.codec.Codecs
+    for (dict <- Seq(None, Some(("payload doc example " * 300).getBytes("UTF-8")))) {
+      val dir = Files.createTempDirectory("graft-zstd").toString
+      val pages = PagesGen.pages(spark, 200, 10, 42L).toDF().repartition(2)
+      val n = WarcIO.writePages(pages, dir, recordsPerFile = 60,
+        compression = Codecs.ZstdCompression(dict))
+      assert(n >= 2)
+      assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".warc.zst")))
+      val back = WarcIO.readRecords(spark, dir).cache()
+      assert(back.filter(col("warc_type") === "response").count() == 200L)
+      assert(back.filter(col("block_digest") =!= col("computed_digest")).count() == 0L)
+    }
+  }
+
+  test("size-based rotation caps compressed file size") {
+    val dir = Files.createTempDirectory("graft-rot").toString
+    val pages = PagesGen.pages(spark, 400, 10, 42L).toDF().coalesce(1)
+    WarcIO.writePages(pages, dir, recordsPerFile = Int.MaxValue, maxFileBytes = 64 * 1024)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length >= 2, "size rotation must split output")
+    // each file ≤ cap + one record of slack (rotation happens after the
+    // record that crosses the threshold, like the reference's check-then-write)
+    assert(files.forall(_.length <= 64 * 1024 + 512 * 1024))
   }
 
   test("warcinfo + filename discipline matches reference shape") {
