@@ -36,17 +36,20 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bytesTotal = pages.agg(sum(length(col("html")))).head.getLong(0) // materialize
 
-    // seen set = ~30% of canonical url hashes (hash-sampled, deterministic)
+    // seen set = ~30% of canonical url hashes (hash-sampled, deterministic),
+    // committed to a partitioned SeenStore — the scale path: per-partition
+    // sketches built+probed executor-side, exact anti-join fallback, driver
+    // memory independent of |seen| (no global bloom anywhere)
     val canon = Frontier.canonicalize(frontier)
       .select(col("url_norm"), col("url_hash"), col("host"), col("warc_ts"), col("depth"))
-    val seen = canon.filter(pmod(col("url_hash"), lit(10L)) < 3)
-      .select("url_hash").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seenCount = seen.count()
+    val seenDir = java.nio.file.Files.createTempDirectory("graft-bench-seen").toString
+    val store = graft.state.SeenStore(seenDir,
+      graft.state.SeenStore.Config(parts = spark.sparkContext.defaultParallelism))
+    store.append(canon.filter(pmod(col("url_hash"), lit(10L)) < 3).select("url_hash"), 0L)
 
     val t0 = System.nanoTime()
-    val scheduled = Frontier.schedule(
-      Frontier.dedupeAgainstSeen(canon, Some(seen), cfg, seenCountHint = seenCount),
-      None, cfg)
+    val filtered = store.filterUnseen(canon)
+    val scheduled = Frontier.schedule(filtered.result, None, cfg)
     val nScheduled = scheduled.count()
     require(nScheduled > 0)
     val t1 = System.nanoTime()
@@ -56,7 +59,14 @@ object Bench {
 
     val schedSec = (t1 - t0) / 1e9
     val extractSec = (t2 - t1) / 1e9
-    frontier.unpersist(); pages.unpersist(); seen.unpersist()
+    filtered.release()
+    frontier.unpersist(); pages.unpersist()
+    // scrub the throwaway store
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(seenDir))
     require(extracted > 0)
     // urls/sec = frontier candidates pushed through the full pipeline per
     // second (the politeness budget caps emissions, not work done)

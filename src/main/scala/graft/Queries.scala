@@ -228,6 +228,18 @@ object Queries {
         .orderBy("url_norm")
     }),
 
+    "f08_seen_partitioned" -> ((s, dir) => {
+      // partitioned URL-seen filter (SeenStore): per-partition sketches
+      // probed executor-side + exact anti-join fallback ≡ exact anti-join
+      val seenDir = java.nio.file.Files.createTempDirectory("graft-f08-seen").toString
+      val store = graft.state.SeenStore(seenDir, graft.state.SeenStore.Config(parts = 8))
+      val all = fw(s, dir)
+      store.append(all.filter(col("doc_id") % 3 === 0).select("url_hash"), 0L)
+      store.filterUnseen(all).result
+        .select("url_norm", "doc_id")
+        .orderBy("url_norm")
+    }),
+
     // --- dedup (training-data ops) ---------------------------------------
     "d01_exact_dedup" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents").withColumn("text2", expr(text2Spark)), "text2")
@@ -422,6 +434,10 @@ object Queries {
          |SELECT url_norm FROM fw
          |WHERE NOT (host_id % 2 = 0 AND CAST(path_id AS VARCHAR) LIKE '1%')
          |ORDER BY url_norm""".stripMargin,
+
+    "f08_seen_partitioned" ->
+      s"""WITH $fwSql
+         |SELECT url_norm, doc_id FROM fw WHERE doc_id % 3 <> 0 ORDER BY url_norm""".stripMargin,
 
     "f06_host_stats" ->
       s"""WITH p AS ($pSql)

@@ -156,26 +156,6 @@ case class SimHash64(child: Expression, k: Int) extends KernelUnary {
   override def prettyName: String = "simhash64"
 }
 
-/** Broadcast Bloom-filter membership probe over a LONG key — codegen'd
-  * (the functions-API route would be a boxing UDF on the hottest filter of
-  * the seen-join fast path). */
-case class BloomMightContain(
-    child: Expression,
-    bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
-    extends UnaryExpression {
-  override def dataType: DataType = BooleanType
-  override def nullSafeEval(v: Any): Any =
-    bloomBc.value.mightContainLong(v.asInstanceOf[Long])
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomBc", bloomBc,
-      "org.apache.spark.broadcast.Broadcast")
-    defineCodeGen(ctx, ev, c =>
-      s"((org.apache.spark.util.sketch.BloomFilter)$ref.value()).mightContainLong($c)")
-  }
-  override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
-  override def prettyName: String = "bloom_might_contain"
-}
-
 /** Exact k-word-shingle Jaccard between two texts (hash-set based). */
 case class JaccardShingles(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -232,10 +212,6 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
   def jaccard_shingles(a: Column, b: Column, k: Int): Column =
     col(JaccardShingles(expr(a), expr(b), k))
-  def bloom_might_contain(
-      c: Column,
-      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
-    col(BloomMightContain(expr(c), bloom))
 
   /** Register all functions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

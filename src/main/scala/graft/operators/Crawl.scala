@@ -1,20 +1,27 @@
 package graft.operators
 
 import graft.functions.GraftFunctions._
-import graft.state.TableIO
+import graft.state.{SeenStore, TableIO}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Multi-round crawl driver: frontier → schedule → fetch (offline: join the
   * pages table, SURVEY.md S4) → byte-identical text extraction → digest
-  * dedup → link discovery → seen-set union, with per-round snapshot commits
-  * and lineage counters (the reference's counters model, SURVEY.md A3, as
-  * deterministic per-round sums instead of rate counters).
+  * dedup → link discovery → seen-set increment, with per-round snapshot
+  * commits and lineage counters (the reference's counters model, SURVEY.md
+  * A3, as deterministic per-round sums instead of rate counters).
   *
   * Frontier rows: (url STRING, depth INT, warc_ts TIMESTAMP) where warc_ts
   * is the discovery recency used by the priority order (north_star:
   * depth asc, budget rank, warc_ts desc).
+  *
+  * Nothing is silently dropped (the reference never loses a record between
+  * its channel stages, /root/reference/warc.go:58-90): candidates that pass
+  * the seen+robots gates but lose the politeness budget race are *deferred*
+  * — they re-enter the next round's frontier and compete again under the
+  * priority order. Only robots-disallowed and already-seen urls leave the
+  * pipeline for good.
   */
 object Crawl {
 
@@ -22,7 +29,8 @@ object Crawl {
       fetched: DataFrame,
       nextFrontier: DataFrame,
       newSeen: DataFrame,
-      counters: Map[String, Long])
+      counters: Map[String, Long],
+      release: () => Unit)
 
   final case class CrawlResult(
       rounds: Vector[Map[String, Long]],
@@ -38,7 +46,9 @@ object Crawl {
       Seq(col("page_ts").asc, col("url_norm").asc))
   }
 
-  /** One frontier round. `web` must be the asWeb() shape. */
+  /** One frontier round. `web` must be the asWeb() shape. Seen-state comes
+    * from either `seenStore` (the partitioned scale path) or `seen` (an
+    * in-memory DataFrame for small crawls/tests) — store wins if both. */
   def round(
       frontier: DataFrame,
       seen: Option[DataFrame],
@@ -46,19 +56,29 @@ object Crawl {
       robots: Option[DataFrame],
       politeness: Option[DataFrame],
       cfg: Frontier.Config,
-      withCounters: Boolean = true): RoundOutput = {
+      withCounters: Boolean = true,
+      seenStore: Option[SeenStore.Store] = None): RoundOutput = {
 
     val canonical = Frontier.canonicalize(frontier)
       .select(col("url_norm"), col("host"), col("url_hash"), col("depth"), col("warc_ts"))
     // within-round first-discovery-wins per url
     val batchDeduped = Frontier.firstSeenWins(canonical, col("url_hash"),
       Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc))
-    val unseen = Frontier.dedupeAgainstSeen(batchDeduped, seen, cfg)
-    val allowed = robots match {
-      case Some(r) => Frontier.applyRobots(unseen, r, cfg)
-      case None => unseen
+    val filtered = seenStore match {
+      case Some(st) => st.filterUnseen(batchDeduped)
+      case None =>
+        SeenStore.Filtered(Frontier.dedupeAgainstSeen(batchDeduped, seen, cfg), () => ())
     }
+    val allowed = (robots match {
+      case Some(r) => Frontier.applyRobots(filtered.result, r, cfg)
+      case None => filtered.result
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val scheduled = Frontier.schedule(allowed, politeness, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // politeness carryover: allowed-but-unscheduled candidates re-enter the
+    // next frontier (priority-queue semantics: deferral, not loss)
+    val deferred = allowed.join(scheduled.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select(col("url_norm").as("url"), col("depth"), col("warc_ts"))
 
     // fetch = equi-join against the web on canonical url; unfetchable urls
     // (404s) drop out here
@@ -76,12 +96,13 @@ object Crawl {
 
     // link discovery from non-revisit fetches; discovery recency = the
     // linking page's capture time
-    val nextFrontier = fetched
+    val links = fetched
       .filter(!col("is_revisit"))
       .select(
         explode(expr("regexp_extract_all(extracted_text, '<a href=\"([^\"]+)\"', 1)")).as("url"),
         (col("depth") + 1).as("depth"),
         col("page_ts").as("warc_ts"))
+    val nextFrontier = links.unionByName(deferred)
 
     val newSeen = scheduled.select(col("url_hash"), col("url_norm"))
 
@@ -103,13 +124,18 @@ object Crawl {
           "dedupe_saved_bytes" -> Option(row.get(4)).map(_.asInstanceOf[Long]).getOrElse(0L))
       }
 
-    RoundOutput(fetched, nextFrontier, newSeen, counters)
+    val release = () => {
+      allowed.unpersist(); scheduled.unpersist(); filtered.release()
+    }
+    RoundOutput(fetched, nextFrontier, newSeen, counters, release)
   }
 
-  /** Run `maxRounds` rounds from a seed list. When `stateDir` is given,
-    * the seen set and per-round counters are committed as snapshots and the
-    * crawl resumes from the latest committed snapshot (exact resume per
-    * north_rule). */
+  /** Run `maxRounds` rounds from a seed list. When `stateDir` is given, the
+    * seen set grows by O(|new|) append-only increments (SeenStore) and the
+    * frontier is snapshotted per round; both are keyed by the round number,
+    * so resume picks the largest round committed in BOTH tables — a crash
+    * between the two commits replays that round exactly (north_rule exact
+    * resume), never against a stale frontier. */
   def crawl(
       spark: SparkSession,
       web: DataFrame,
@@ -122,15 +148,23 @@ object Crawl {
       warcDir: Option[String] = None): CrawlResult = {
     import spark.implicits._
 
-    val seenTable = stateDir.map(_ + "/seen")
+    val store = stateDir.map(d => SeenStore(d + "/seen",
+      SeenStore.Config(cfg.seenParts, cfg.seenFpp, cfg.seenSketch)))
     val frontierTable = stateDir.map(_ + "/frontier")
-    val resumedSnap = seenTable.flatMap(TableIO.latestSnapshotId)
 
-    var seen: Option[DataFrame] = resumedSnap.flatMap(id =>
-      TableIO.read(spark, seenTable.get, Some(id)))
-    val startRound = resumedSnap.map(_.toInt + 1).getOrElse(0)
+    // resume point: largest round present in BOTH the frontier snapshots
+    // and the seen increments (ids are contiguous from 0)
+    val resumedRound: Option[Long] = (store, frontierTable) match {
+      case (Some(st), Some(ft)) =>
+        val seenIds = st.committedIds.toSet
+        TableIO.listSnapshots(ft).filter(seenIds.contains).lastOption
+      case _ => None
+    }
 
-    var frontier: DataFrame = resumedSnap match {
+    var seen: Option[DataFrame] = None // in-memory path only
+    val startRound = resumedRound.map(_.toInt + 1).getOrElse(0)
+
+    var frontier: DataFrame = resumedRound match {
       case Some(id) => TableIO.read(spark, frontierTable.get, Some(id)).get
       case None =>
         seeds.toDF("url")
@@ -146,7 +180,7 @@ object Crawl {
     while (r < startRound + maxRounds && !done) {
       if (frontier.isEmpty) done = true
       else {
-        val out = round(frontier, seen, web, robots, politeness, cfg)
+        val out = round(frontier, seen, web, robots, politeness, cfg, seenStore = store)
         allCounters :+= out.counters
         // optional archival sink: the round's captures as rotated WARC
         // (responses + truncated revisit records, K3 semantics)
@@ -156,20 +190,20 @@ object Crawl {
           case None => Some(out.fetched)
           case Some(prev) => Some(prev.unionByName(out.fetched))
         }
-        val seenNext = seen match {
-          case None => out.newSeen
-          case Some(s) => s.unionByName(out.newSeen).distinct()
-        }
-        (seenTable, frontierTable) match {
+        (store, frontierTable) match {
           case (Some(st), Some(ft)) =>
-            TableIO.commit(out.nextFrontier, ft, Map("round" -> r.toLong))
-            TableIO.commit(seenNext, st, out.counters.map { case (k, v) => k -> v })
-            seen = TableIO.read(spark, st, None)
-            frontier = TableIO.read(spark, ft, None).get
+            TableIO.commitAs(out.nextFrontier, ft, r.toLong, Map("round" -> r.toLong))
+            st.append(out.newSeen, r.toLong, out.counters)
+            frontier = TableIO.read(spark, ft, Some(r.toLong)).get
           case _ =>
+            val seenNext = seen match {
+              case None => out.newSeen
+              case Some(s) => s.unionByName(out.newSeen)
+            }
             seen = Some(seenNext.persist(StorageLevel.MEMORY_AND_DISK))
-            frontier = out.nextFrontier
+            frontier = out.nextFrontier.persist(StorageLevel.MEMORY_AND_DISK)
         }
+        out.release()
         r += 1
       }
     }

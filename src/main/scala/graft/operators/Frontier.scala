@@ -29,7 +29,9 @@ object Frontier {
       defaultBudget: Int = 8,
       saltBuckets: Int = 16,
       sizeThreshold: Long = 2048L,
-      bloomFpp: Double = 0.01)
+      seenParts: Int = 64,
+      seenFpp: Double = 0.01,
+      seenSketch: String = "bloom")
 
   /** Stage 1 — canonicalize: dirty url → RFC-3986 normal form, host,
     * xxhash64 identity. Runs inside one whole-stage-codegen span (all
@@ -49,27 +51,19 @@ object Frontier {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-  /** Stage 2 — URL-seen filter against the persisted seen set. The Bloom
-    * prefilter gives the fast no-path without shuffling the (large)
-    * candidate side: rows whose hash cannot be in `seen` skip the join
-    * entirely; only possible members join (left-anti, exact). At 10^10
-    * urls the Bloom is built per-partition and OR-merged by
-    * `stat.bloomFilter`'s TypedImperativeAggregate, then broadcast once. */
-  def dedupeAgainstSeen(candidates: DataFrame, seen: Option[DataFrame], cfg: Config,
-                        seenCountHint: Long = -1L): DataFrame =
+  /** Stage 2 — URL-seen filter for an *in-memory* seen DataFrame: a plain
+    * exact left-anti join (Catalyst picks the join strategy; AQE handles
+    * skew). This is the small-state path. The scale path — the north_star's
+    * 10^10-url seen set — is `graft.state.SeenStore.filterUnseen`:
+    * per-partition sketches (Bloom / cuckoo `TypedImperativeAggregate`)
+    * built and loaded entirely executor-side, probed inside whole-stage
+    * codegen, backed by an exact anti-join over the sketch maybes; driver
+    * memory stays O(1) in |seen|. A driver-built global Bloom is
+    * deliberately absent: at 10^10 urls / fpp 0.01 it is a ~12 GB bitset. */
+  def dedupeAgainstSeen(candidates: DataFrame, seen: Option[DataFrame], cfg: Config): DataFrame =
     seen match {
       case None => candidates
-      case Some(s) =>
-        val seenHashes = s.select(col("url_hash"))
-        val seenCount = if (seenCountHint > 0) seenCountHint
-          else math.max(1L, seenHashes.count())
-        val bloom = seenHashes.stat.bloomFilter("url_hash", seenCount, cfg.bloomFpp)
-        val bloomBc = candidates.sparkSession.sparkContext.broadcast(bloom)
-        val maybeSeen = graft.functions.GraftFunctions.bloom_might_contain(col("url_hash"), bloomBc)
-        val definitelyNew = candidates.filter(!maybeSeen)
-        val needExact = candidates.filter(maybeSeen)
-          .join(seenHashes, Seq("url_hash"), "left_anti")
-        definitelyNew.unionByName(needExact)
+      case Some(s) => candidates.join(s.select(col("url_hash")), Seq("url_hash"), "left_anti")
     }
 
   /** Stage 3 — payload-digest dedup (J2+J4): first capture per digest wins;

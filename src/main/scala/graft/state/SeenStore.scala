@@ -137,8 +137,8 @@ object SeenStore {
     def seenHashes(spark: SparkSession, maxId: Option[Long] = None): Option[DataFrame] = {
       val ids = maxId.map(m => committedIds.filter(_ <= m)).getOrElse(committedIds)
       if (ids.isEmpty) None
-      else Some(spark.read.parquet(ids.map(i => s"$dir/inc-$i/data"): _*)
-        .select(col("url_hash")))
+      else Some(ids.map(i => spark.read.parquet(s"$dir/inc-$i/data").select(col("url_hash")))
+        .reduce(_ unionByName _))
     }
 
     /** Exact unseen filter: sketch fast-path (no join for definite

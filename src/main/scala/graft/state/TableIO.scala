@@ -67,14 +67,24 @@ object TableIO {
   /** Write `df` as the next snapshot of `table`; returns the committed
     * manifest. The parquet write happens first; the manifest rename is the
     * commit point. */
-  def commit(df: DataFrame, table: String, counters: Map[String, Long] = Map.empty): Snapshot = {
-    val parent = latestSnapshotId(table)
-    val id = parent.map(_ + 1).getOrElse(0L)
+  def commit(df: DataFrame, table: String, counters: Map[String, Long] = Map.empty): Snapshot =
+    commitAs(df, table, latestSnapshotId(table).map(_ + 1).getOrElse(0L), counters)
+
+  /** Commit with an explicit snapshot id (callers that coordinate several
+    * tables key every table's snapshot by the same id — e.g. the crawl
+    * round number — so a crash between commits can be detected as "largest
+    * id present in ALL tables"). Idempotent: recommitting an id overwrites
+    * the orphan left by a crash. */
+  def commitAs(df: DataFrame, table: String, id: Long,
+               counters: Map[String, Long] = Map.empty): Snapshot = {
+    val parent = listSnapshots(table).filter(_ < id).lastOption
     val dataDir = s"$table/data/snap-$id"
-    // row count captured via the write itself (observe-free; count on the
-    // written files avoids recomputing the input plan)
-    df.write.mode("overwrite").parquet(dataDir)
-    val rows = df.sparkSession.read.parquet(dataDir).count()
+    // row count captured from the write job itself (no second scan)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dataDir)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val snap = Snapshot(id, parent, dataDir, rows, counters)
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
@@ -87,6 +97,8 @@ object TableIO {
     snap.counters.toSeq.sortBy(_._1).foreach { case (k, v) => cnode.put(k, v) }
     val tmp = mdir.resolve(s".tmp-$id.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+    // POSIX rename: atomic, silently replaces an existing target — exactly
+    // what a crash-replay recommit of the same id needs
     Files.move(tmp, mdir.resolve(s"snap-$id.json"), StandardCopyOption.ATOMIC_MOVE)
     snap
   }

@@ -74,6 +74,10 @@ object SequentialOracle {
           grp.sortBy(e => (e.depth, -e.ts, e.url)).take(budget).zipWithIndex
             .map { case (e, i) => (e, i + 1) }
         }
+      // politeness carryover: allowed-but-unscheduled candidates defer to
+      // the next round (nothing is silently dropped)
+      val scheduledUrls = scheduled.map(_._1.url).toSet
+      val deferred = allowed.filterNot(e => scheduledUrls.contains(e.url))
       // fetch + digest dedup (within the full crawl history, first-wins by
       // (frontier ts asc, url asc) among eligible payloads)
       val fetched = scheduled.flatMap { case (e, rank) =>
@@ -100,14 +104,14 @@ object SequentialOracle {
       out :+= schedOut
       // seen-set union: everything scheduled (pre-fetch), like newSeen
       seen ++= scheduled.map(_._1.url)
-      // links from non-revisit fetches
+      // links from non-revisit fetches, plus the deferred carryover
       val revUrls = schedOut.filter(_.isRevisit).map(_.url).toSet
       frontier = withDigest
         .filter { case (e, _, _, _, _) => !revUrls.contains(e.url) }
         .flatMap { case (e, _, p, _, _) =>
           linkRe.findAllMatchIn(p.text).map(m =>
             Entry(m.group(1), e.depth + 1, p.warc_ts.getTime)).toVector
-        }
+        } ++ deferred
       r += 1
     }
     out
@@ -155,15 +159,26 @@ class FrontierSpec extends AnyFunSuite {
     assert(bad == 0L, "every decode mode must reproduce text byte-identically")
   }
 
-  test("dedupeAgainstSeen: bloom+anti-join equals exact anti-join") {
-    val canon = Frontier.canonicalize(pagesDf)
-      .select("url_norm", "url_hash").limit(2000).cache()
-    val seen = canon.sample(0.3, seed = 7).select("url_hash", "url_norm").cache()
-    val got = Frontier.dedupeAgainstSeen(canon, Some(seen), cfg)
-      .select("url_hash").as[Long].collect().sorted
-    val want = canon.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
-      .select("url_hash").as[Long].collect().sorted
-    assert(got.toSeq == want.toSeq)
+  test("SeenStore.filterUnseen equals exact anti-join (partitioned sketches, P>1)") {
+    for (sketch <- Seq("bloom", "cuckoo")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-seen-$sketch").toString
+      val store = graft.state.SeenStore(dir,
+        graft.state.SeenStore.Config(parts = 7, sketch = sketch))
+      val canon = Frontier.canonicalize(pagesDf)
+        .select("url_norm", "url_hash").limit(2000).cache()
+      // two increments, like two crawl rounds
+      val seenA = canon.sample(0.2, seed = 7).select("url_hash")
+      val seenB = canon.sample(0.15, seed = 11).select("url_hash")
+      store.append(seenA, 0L)
+      store.append(seenB, 1L)
+      val filtered = store.filterUnseen(canon)
+      val got = filtered.result.select("url_hash").as[Long].collect().sorted
+      val want = canon
+        .join(seenA.unionByName(seenB), Seq("url_hash"), "left_anti")
+        .select("url_hash").as[Long].collect().sorted
+      assert(got.toSeq == want.toSeq, s"sketch=$sketch")
+      filtered.release()
+    }
   }
 
   test("schedule: two-phase salted top-k equals plain per-host top-k") {
@@ -203,7 +218,9 @@ class FrontierSpec extends AnyFunSuite {
         .toVector
       assert(got == oracle(r), s"round $r mismatch: got ${got.size} vs oracle ${oracle(r).size}")
       seen = Some(seen.map(_.unionByName(out.newSeen).distinct()).getOrElse(out.newSeen))
-      frontier = out.nextFrontier
+      frontier = out.nextFrontier.cache()
+      frontier.count() // materialize before releasing the round's caches
+      out.release()
       out.fetched.unpersist()
     }
   }

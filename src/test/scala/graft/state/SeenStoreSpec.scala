@@ -1,0 +1,100 @@
+package graft.state
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SeenStoreSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("cuckoo filter: no false negatives, plausible fp rate, serialize roundtrip") {
+    val f = CuckooFilter.create(10000)
+    val keys = (0 until 10000).map(i => i * 0x9e3779b97f4a7c15L + 17)
+    keys.foreach(k => assert(f.insert(k)))
+    assert(!f.hasOverflowed)
+    keys.foreach(k => assert(f.mightContain(k), s"false negative for $k"))
+    val fp = (0 until 100000).count(i => f.mightContain(-i * 0x517cc1b727220a95L - 3))
+    assert(fp < 1000, s"fp rate too high: $fp/100000") // 16-bit fps: expect ~0.1%
+    val back = CuckooFilter.deserialize(f.serialize())
+    keys.foreach(k => assert(back.mightContain(k)))
+  }
+
+  test("cuckoo filter: merge keeps all keys from both sides") {
+    val a = CuckooFilter.create(4000)
+    val b = CuckooFilter.create(4000)
+    val ka = (0 until 2000).map(i => i * 7919L + 1)
+    val kb = (0 until 2000).map(i => i * 104729L + 2)
+    ka.foreach(a.insert)
+    kb.foreach(b.insert)
+    a.merge(b)
+    (ka ++ kb).foreach(k => assert(a.mightContain(k), s"lost $k in merge"))
+  }
+
+  test("cuckoo filter: overflow degrades to always-maybe (never a false negative)") {
+    val f = CuckooFilter.create(64)
+    val keys = (0 until 5000).map(i => i * 6364136223846793005L + 9)
+    keys.foreach(f.insert)
+    keys.foreach(k => assert(f.mightContain(k)))
+  }
+
+  test("cuckoo_filter_agg builds a filter distributively") {
+    val hashes = spark.range(0, 5000).select(xxhash64(col("id")).as("url_hash"))
+    val bytes = hashes.repartition(8)
+      .agg(SeenStore.cuckooAgg(col("url_hash"), 5000).as("f"))
+      .head.getAs[Array[Byte]](0)
+    val f = CuckooFilter.deserialize(bytes)
+    val all = hashes.as[Long].collect()
+    all.foreach(h => assert(f.mightContain(h), "aggregate lost a key"))
+  }
+
+  test("append is O(|increment|): committing round N leaves earlier increments untouched") {
+    val dir = Files.createTempDirectory("graft-seen-inc").toString
+    val store = SeenStore(dir, SeenStore.Config(parts = 4))
+    store.append(spark.range(0, 1000).select(xxhash64(col("id")).as("url_hash")), 0L)
+    def mtimes(inc: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/inc-$inc")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = mtimes(0L)
+    store.append(spark.range(1000, 1200).select(xxhash64(col("id")).as("url_hash")), 1L)
+    assert(mtimes(0L) == before, "increment 0 files must not be rewritten by increment 1")
+    // and increment 1 is small: its data holds only the new rows
+    val inc1 = spark.read.parquet(s"$dir/inc-1/data").count()
+    assert(inc1 == 200L)
+    assert(store.committedIds == Seq(0L, 1L))
+  }
+
+  test("orphaned increment (crash before manifest) is invisible and replayable") {
+    val dir = Files.createTempDirectory("graft-seen-orphan").toString
+    val store = SeenStore(dir, SeenStore.Config(parts = 4))
+    store.append(spark.range(0, 500).select(xxhash64(col("id")).as("url_hash")), 0L)
+    // simulate a crash: data + sketch written for inc-1, no manifest
+    val orphan = spark.range(500, 700).select(xxhash64(col("id")).as("url_hash"))
+    store.append(orphan, 1L)
+    Files.delete(java.nio.file.Paths.get(dir, "manifest", "inc-1.json"))
+    assert(store.committedIds == Seq(0L), "uncommitted increment must be invisible")
+    // replay commits it cleanly over the orphan files
+    store.append(orphan, 1L)
+    assert(store.committedIds == Seq(0L, 1L))
+    val f = store.filterUnseen(spark.range(0, 1000).select(xxhash64(col("id")).as("url_hash")))
+    assert(f.result.count() == 300L) // 700..999 unseen
+    f.release()
+  }
+
+  test("probe plan: sketch probe is codegen'd, no bloom bytes cross the driver") {
+    val dir = Files.createTempDirectory("graft-seen-plan").toString
+    val store = SeenStore(dir, SeenStore.Config(parts = 4))
+    store.append(spark.range(0, 2000).select(xxhash64(col("id")).as("url_hash")), 0L)
+    val cand = spark.range(0, 4000).select(xxhash64(col("id")).as("url_hash"))
+    val f = store.filterUnseen(cand)
+    val plan = f.result.queryExecution.executedPlan.toString
+    assert(plan.contains("seen_might_contain"), "probe expression missing from plan")
+    assert(!plan.contains("bloomFilter"), "no driver-side bloom subquery expected")
+    assert(f.result.count() == 2000L)
+    f.release()
+  }
+}
