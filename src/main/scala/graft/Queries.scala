@@ -66,6 +66,30 @@ object Queries {
       Seq(col("warc_ts").asc, col("doc_id").asc))
   }
 
+  /** Shared by f09/f10: pagesLite with planted dup bodies + per-doc urls,
+    * deduped against a synthetic CDX index (docs with doc_id%5==0 are
+    * "remotely archived"; doc_id%10==0 adds a warc/revisit entry that must
+    * be ignored per /root/reference/dedupe.go:59). */
+  private def cdxDeduped(s: SparkSession, dir: String): DataFrame = {
+    val p = pagesLite(s, dir)
+      .withColumn("text2", expr(text2Spark))
+      .withColumn("url_norm", concat(url_normalize(col("url")), lit("?d="), col("doc_id")))
+      .withColumn("payload_digest", sha2(col("text2"), 256))
+      .withColumn("payload_len", length(encode(col("text2"), "UTF-8")).cast("long"))
+    val archived = p.filter(col("doc_id") % 5 === 0).select(
+      col("payload_digest"),
+      concat(lit("https://archive.example/doc/"), col("doc_id")).as("target_uri"),
+      expr("TIMESTAMP '2022-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)").as("capture_ts"),
+      lit("text/html").as("record_type"))
+    val revisitNoise = p.filter(col("doc_id") % 10 === 0).select(
+      col("payload_digest"),
+      concat(lit("https://bogus.example/doc/"), col("doc_id")).as("target_uri"),
+      expr("TIMESTAMP '2023-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)").as("capture_ts"),
+      lit("warc/revisit").as("record_type"))
+    operators.Frontier.digestDedupWithCdx(p, archived.unionByName(revisitNoise),
+      operators.Frontier.Config())
+  }
+
   private val fwSql: String =
     s"""p AS ($pSql),
        |fw AS (
@@ -228,6 +252,24 @@ object Queries {
         .orderBy("url_norm")
     }),
 
+    "f09_cdx_dedup" -> ((s, dir) => {
+      // local-then-remote dedupe precedence (J3): local first-wins beats the
+      // CDX index; remote hits mark local firsts as cdx revisits
+      Queries.cdxDeduped(s, dir)
+        .select("doc_id", "is_revisit", "dedupe_source", "refers_to_url")
+        .orderBy("doc_id")
+    }),
+
+    "f10_dedupe_savings" -> ((s, dir) =>
+      // the reference's LocalDedupeTotal / RemoteDedupeTotal counter
+      // semantics (bytes saved per dedupe source, client_test.go:863,950)
+      Queries.cdxDeduped(s, dir)
+        .filter(col("dedupe_source").isNotNull)
+        .groupBy("dedupe_source")
+        .agg(count(lit(1)).as("n_revisits"),
+          sum(col("payload_len")).as("saved_bytes"))
+        .orderBy("dedupe_source")),
+
     "f08_seen_partitioned" -> ((s, dir) => {
       // partitioned URL-seen filter (SeenStore): per-partition sketches
       // probed executor-side + exact anti-join fallback ≡ exact anti-join
@@ -261,12 +303,15 @@ object Queries {
 
     "d04_embedding_neardup" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      // plant near-dups: perturbed copies of the first 10 vectors
+      // plant near-dups: NOISE-perturbed copies (direction changes) of the
+      // first 10 vectors — the case single-signature LSH mostly misses
       val planted = embs.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000).as("vec_id"),
-          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("float") / lit(10000.0f)
+              - lit(0.05f))).cast("float")).as("embedding"))
       Dedup.embeddingPairs(embs.select("vec_id", "embedding").unionByName(planted),
-        nPlanes = 8, threshold = 0.98)
+        threshold = 0.95)
         .orderBy("id_a", "id_b")
     }),
 
@@ -327,6 +372,7 @@ object Queries {
       recs.map(r => (r.warcType, r.contentLength,
           r.blockDigest == r.computedBlockDigest))
         .toDF("warc_type", "content_length", "digest_ok")
+        .orderBy("warc_type")
     }),
 
     "x01_extract_conformance" -> ((s, dir) => {
@@ -435,6 +481,61 @@ object Queries {
          |WHERE NOT (host_id % 2 = 0 AND CAST(path_id AS VARCHAR) LIKE '1%')
          |ORDER BY url_norm""".stripMargin,
 
+    "f09_cdx_dedup" ->
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  'https://host' || CAST((doc_id % 89) % 7 AS VARCHAR) || '.example/doc/' || CAST(doc_id % 89 AS VARCHAR) || '?d=' || CAST(doc_id AS VARCHAR) AS u,
+         |  TIMESTAMP '2022-03-20 03:55:45' + INTERVAL ((doc_id * 7) % 100000) SECOND AS warc_ts,
+         |  $text2Duck AS text2
+         | FROM documents),
+         |h AS (SELECT doc_id, u, warc_ts, sha256(text2) AS dg,
+         |       octet_length(encode(text2)) AS len FROM p),
+         |e AS (
+         | SELECT doc_id, dg,
+         |  row_number() OVER w AS rn,
+         |  first_value(u) OVER w AS fu
+         | FROM h
+         | WHERE len >= 2048 AND len > 0
+         | WINDOW w AS (PARTITION BY dg ORDER BY warc_ts, u)),
+         |cdx AS (
+         | SELECT dg, uri FROM (
+         |  SELECT sha256(text2) AS dg,
+         |   'https://archive.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         |   row_number() OVER (PARTITION BY sha256(text2)
+         |     ORDER BY TIMESTAMP '2022-01-01 00:00:00' + INTERVAL (doc_id) SECOND DESC,
+         |              'https://archive.example/doc/' || CAST(doc_id AS VARCHAR) DESC) AS rn
+         |  FROM p WHERE doc_id % 5 = 0)
+         | WHERE rn = 1)
+         |SELECT h.doc_id,
+         | CASE WHEN e.rn > 1 OR (e.rn = 1 AND cdx.dg IS NOT NULL) THEN true ELSE false END AS is_revisit,
+         | CASE WHEN e.rn > 1 THEN 'local' WHEN e.rn = 1 AND cdx.dg IS NOT NULL THEN 'cdx' END AS dedupe_source,
+         | CASE WHEN e.rn > 1 THEN e.fu WHEN e.rn = 1 AND cdx.dg IS NOT NULL THEN cdx.uri END AS refers_to_url
+         |FROM h LEFT JOIN e ON h.doc_id = e.doc_id LEFT JOIN cdx ON e.dg = cdx.dg
+         |ORDER BY h.doc_id""".stripMargin,
+
+    "f10_dedupe_savings" ->
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  'https://host' || CAST((doc_id % 89) % 7 AS VARCHAR) || '.example/doc/' || CAST(doc_id % 89 AS VARCHAR) || '?d=' || CAST(doc_id AS VARCHAR) AS u,
+         |  TIMESTAMP '2022-03-20 03:55:45' + INTERVAL ((doc_id * 7) % 100000) SECOND AS warc_ts,
+         |  $text2Duck AS text2
+         | FROM documents),
+         |h AS (SELECT doc_id, u, warc_ts, sha256(text2) AS dg,
+         |       octet_length(encode(text2)) AS len FROM p),
+         |e AS (
+         | SELECT doc_id, dg, row_number() OVER w AS rn
+         | FROM h WHERE len >= 2048 AND len > 0
+         | WINDOW w AS (PARTITION BY dg ORDER BY warc_ts, u)),
+         |cdx AS (SELECT DISTINCT sha256(text2) AS dg FROM p WHERE doc_id % 5 = 0),
+         |r AS (
+         | SELECT h.doc_id, h.len,
+         |  CASE WHEN e.rn > 1 THEN 'local'
+         |       WHEN e.rn = 1 AND cdx.dg IS NOT NULL THEN 'cdx' END AS dedupe_source
+         | FROM h LEFT JOIN e ON h.doc_id = e.doc_id LEFT JOIN cdx ON e.dg = cdx.dg)
+         |SELECT dedupe_source, count(*) AS n_revisits, CAST(sum(len) AS BIGINT) AS saved_bytes
+         |FROM r WHERE dedupe_source IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "f08_seen_partitioned" ->
       s"""WITH $fwSql
          |SELECT url_norm, doc_id FROM fw WHERE doc_id % 3 <> 0 ORDER BY url_norm""".stripMargin,
@@ -486,6 +587,44 @@ object Queries {
         |      WHEN s_en = greatest(s_de, s_en, s_fr, s_ja) THEN 'en'
         |      ELSE 'de' END AS lang_pred
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // fixed expected outputs, encoded as VALUES so the driver enforces the
+    // byte-identical parse/extract contracts (not just rows>0)
+    "w01_warc_fixture" ->
+      """SELECT * FROM (VALUES
+        | ('request',  CAST(110 AS BIGINT),   true),
+        | ('response', CAST(21830 AS BIGINT), true),
+        | ('warcinfo', CAST(143 AS BIGINT),   true))
+        |AS t(warc_type, content_length, digest_ok) ORDER BY warc_type""".stripMargin,
+
+    "x01_extract_conformance" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_pages, CAST(2000 AS BIGINT) AS n_match,
+        | CAST(0 AS BIGINT) AS n_mismatch""".stripMargin,
+
+    "d02_minhash_pairs" ->
+      s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
+         |tok AS (
+         | SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(trim(text2)), '\\s+'), x -> len(x) > 0) AS ts
+         | FROM p),
+         |sh AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS ss
+         | FROM tok WHERE len(ts) > 0),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM (SELECT doc_id, unnest(ss) AS s FROM sh) a
+         | JOIN (SELECT doc_id, unnest(ss) AS s FROM sh) b
+         |   ON a.s = b.s AND a.doc_id < b.doc_id),
+         |j AS (
+         | SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+         |  CAST(len(list_distinct(sa.ss || sb.ss)) AS DOUBLE) AS jaccard
+         | FROM cand
+         | JOIN sh sa ON sa.doc_id = id_a
+         | JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

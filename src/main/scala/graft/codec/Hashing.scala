@@ -177,6 +177,65 @@ object Hashing {
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
 
+  /** Deterministic Rademacher (±1) hyperplane matrix for random-hyperplane
+    * LSH, built once per (dim, planes, seed) per JVM. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Byte]]]()
+  private def signMatrix(dim: Int, planes: Int, seed: Long): Array[Array[Byte]] =
+    signCache.computeIfAbsent((dim, planes, seed), { key =>
+      val (d, p, s) = key
+      Array.tabulate(p) { plane =>
+        val row = new Array[Byte](d)
+        var i = 0
+        while (i < d) {
+          // one xxh64 per (plane, dim) cell — computed once per JVM
+          val h = xxh64Long((plane.toLong << 32) | (i.toLong & 0xffffffffL), s)
+          row(i) = if ((h & 1L) == 1L) 1 else -1
+          i += 1
+        }
+        row
+      }
+    })
+
+  /** xxh64 of a single little-endian long (allocation-free). */
+  def xxh64Long(v: Long, seed: Long): Long = {
+    var hash = seed + P5 + 8L
+    hash ^= round(0L, v)
+    hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+    hash ^= hash >>> 33
+    hash *= P2
+    hash ^= hash >>> 29
+    hash *= P3
+    hash ^ (hash >>> 32)
+  }
+
+  /** Banded random-hyperplane signatures: `nTables` independent LSH tables,
+    * each a `bandBits`-bit sign signature. A near pair (cosine c) collides
+    * in one table with p = (1 - θ/π)^bandBits, θ = arccos(c); across T
+    * tables the candidate-recall is 1-(1-p)^T — e.g. c≥0.95, bandBits=10,
+    * T=8 → ≈0.97, where a single 12-bit signature gives only ≈0.28. */
+  def hyperplaneSigs(v: Array[Float], nTables: Int, bandBits: Int, seed: Long): Array[Long] = {
+    val planes = nTables * bandBits
+    val signs = signMatrix(v.length, planes, seed)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bandBits) {
+        val row = signs(t * bandBits + b)
+        var proj = 0.0
+        var i = 0
+        while (i < v.length) { proj += v(i).toDouble * row(i); i += 1 }
+        if (proj >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
   /** Cosine similarity of two float vectors, each accumulator a sequential
     * double fold — bitwise-identical to the DuckDB oracle's
     * list_sum(list_transform(...)) evaluation order. */

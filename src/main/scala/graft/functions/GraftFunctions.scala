@@ -27,6 +27,27 @@ object Kernels {
     Hashing.jaccardShingles(a.toString, b.toString, k)
   def cosineF32(a: ArrayData, b: ArrayData): Double =
     Hashing.cosineF32(a.toFloatArray(), b.toFloatArray())
+  def hyperplaneSigs(v: ArrayData, nTables: Int, bandBits: Int, seed: Long): ArrayData =
+    new GenericArrayData(Hashing.hyperplaneSigs(v.toFloatArray(), nTables, bandBits, seed))
+
+  /** Nearest-centroid assignment against a broadcast codebook: returns the
+    * cell id with the highest cosine (ties → lowest cell id, because cells
+    * are scanned in ascending-id order and only a strictly-greater score
+    * replaces). One narrow call per row — the IVF assignment never joins or
+    * shuffles. `bcValue` is the broadcast (ids, vectors) pair. */
+  def argmaxCell(v: ArrayData, bcValue: Object): Long = {
+    val (ids, vecs) = bcValue.asInstanceOf[(Array[Long], Array[Array[Float]])]
+    val fv = v.toFloatArray()
+    var best = 0
+    var bestCos = -2.0
+    var i = 0
+    while (i < vecs.length) {
+      val c = Hashing.cosineF32(fv, vecs(i))
+      if (c > bestCos) { bestCos = c; best = i }
+      i += 1
+    }
+    ids(best)
+  }
 
   def urlNormalize(s: UTF8String): UTF8String =
     UTF8String.fromString(UrlNormalizer.normalize(s.toString))
@@ -156,6 +177,41 @@ case class SimHash64(child: Expression, k: Int) extends KernelUnary {
   override def prettyName: String = "simhash64"
 }
 
+/** Banded random-hyperplane LSH signatures over a FLOAT vector — one
+  * kernel call per row (the HOF formulation evaluates interpreted and
+  * recomputes the hyperplane draws per row·plane·dim). */
+case class HyperplaneSigs(child: Expression, nTables: Int, bandBits: Int, seed: Long)
+    extends KernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernelCall =
+    s"graft.functions.Kernels.hyperplaneSigs(%s, $nTables, $bandBits, ${seed}L)"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneSigs(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nTables, bandBits, seed)
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
+/** IVF cell assignment: argmax-cosine against a broadcast centroid
+  * codebook, inside whole-stage codegen — replaces a corpus×nCells
+  * cross-join + window (a nCells× shuffle blow-up) with zero exchanges. */
+case class ArgMaxCell(
+    child: Expression,
+    centroidsBc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.argmaxCell(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroidsBc.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidsBc", centroidsBc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.argmaxCell($c, $ref.value())")
+  }
+  override protected def withNewChildInternal(c: Expression): ArgMaxCell = copy(child = c)
+  override def prettyName: String = "argmax_cell"
+}
+
 /** Exact k-word-shingle Jaccard between two texts (hash-set based). */
 case class JaccardShingles(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -212,6 +268,12 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
   def jaccard_shingles(a: Column, b: Column, k: Int): Column =
     col(JaccardShingles(expr(a), expr(b), k))
+  def hyperplane_sigs(v: Column, nTables: Int, bandBits: Int, seed: Long): Column =
+    col(HyperplaneSigs(expr(v), nTables, bandBits, seed))
+  def argmax_cell(
+      v: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =
+    col(ArgMaxCell(expr(v), centroids))
 
   /** Register all functions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

@@ -153,34 +153,29 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
-  /** Embedding near-dup pairs via random-hyperplane LSH: `nPlanes` signed
-    * projections → bit signature; block on the signature; verify cosine
-    * within blocks. Hyperplanes are deterministic (seeded hash), generated
-    * as ±1 components — dot sign = sum of ±components. */
+  /** Embedding near-dup pairs via *banded* random-hyperplane LSH:
+    * `nTables` independent tables of `bandBits` signed projections each; a
+    * pair is a candidate if it collides in ANY table, then exact cosine
+    * verifies. Recall at cos≥0.95 with the defaults is ≈0.97 vs ≈0.28 for
+    * a single 12-bit signature (p_table = (1-θ/π)^bandBits,
+    * recall = 1-(1-p)^T). Signatures are one codegen kernel call per row;
+    * the only shuffles are the (table, sig) bucket groupBy and the final
+    * pair distinct — never all-pairs. */
   def embeddingPairs(
       embs: DataFrame,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
-      nPlanes: Int = 12,
+      nTables: Int = 8,
+      bandBits: Int = 10,
       threshold: Double = 0.95,
       seed: Int = 42,
       maxBucket: Int = 256): DataFrame = {
-    // signature bit p: sign of sum_i(v[i] * rademacher(seed, p, i)), with
-    // the Rademacher ±1 drawn deterministically from xxhash64(i, p, seed)
-    def signature(vec: Column): Column =
-      (0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-            when(xxhash64(i, lit(p), lit(seed)).bitwiseAND(lit(1L)) === 1L,
-              x.cast("double")).otherwise(-x.cast("double"))),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
+    import graft.functions.GraftFunctions.hyperplane_sigs
     val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", signature(col("v")))
-      .cache()
+      .withColumn("sigs", hyperplane_sigs(col("v"), nTables, bandBits, seed))
     withSig
-      .groupBy(col("sig"))
+      .select(col("id"), col("v"), posexplode(col("sigs")).as(Seq("t", "sig")))
+      .groupBy(col("t"), col("sig"))
       .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("rows"))
       .filter(size(col("rows")) > 1)
       .select(explode(expr(

@@ -95,6 +95,41 @@ object Frontier {
     marked.unionByName(exempt)
   }
 
+  /** Stage 3b — local-then-remote dedup (J3): rows that are local firsts
+    * consult a CDX-style remote index; a local hit always wins
+    * (`coalesce(local, remote)`, /root/reference/dialer.go:510-513). The
+    * index models the reference's CDX reply (/root/reference/dedupe.go:47-81):
+    * `(payload_digest, target_uri, capture_ts, record_type)` rows; entries
+    * typed `warc/revisit` are ignored and the *last* capture per digest is
+    * used (the `limit=-1` semantics). Adds `dedupe_source`
+    * (null | 'local' | 'cdx'); size-threshold and empty-payload exemptions
+    * apply to the remote probe exactly as to the local one
+    * (/root/reference/dialer.go:502-516). */
+  def digestDedupWithCdx(df: DataFrame, cdx: DataFrame, cfg: Config,
+                         captureTsCol: String = "warc_ts"): DataFrame = {
+    val local = digestDedup(df, cfg, captureTsCol)
+    val lastCapture = cdx
+      .filter(col("record_type") =!= "warc/revisit")
+      .groupBy(col("payload_digest"))
+      .agg(max(struct(col("capture_ts"), col("target_uri"))).as("c"))
+      .select(col("payload_digest"),
+        col("c.target_uri").as("__cdx_url"), col("c.capture_ts").as("__cdx_ts"))
+    val eligible = coalesce(
+      col("payload_len") >= cfg.sizeThreshold &&
+        col("payload_len") > 0 && col("payload_digest").isNotNull,
+      lit(false))
+    local.join(lastCapture, Seq("payload_digest"), "left")
+      .withColumn("dedupe_source",
+        when(col("is_revisit"), lit("local"))
+          .when(eligible && col("__cdx_url").isNotNull, lit("cdx")))
+      .withColumn("refers_to_url",
+        coalesce(col("refers_to_url"), when(eligible, col("__cdx_url"))))
+      .withColumn("refers_to_ts",
+        coalesce(col("refers_to_ts"), when(eligible, col("__cdx_ts"))))
+      .withColumn("is_revisit", col("dedupe_source").isNotNull)
+      .drop("__cdx_url", "__cdx_ts")
+  }
+
   // Per-executor robots parse cache: robots bodies repeat per host, so
   // parse each (body, agent) once per JVM rather than once per url.
   @transient private lazy val robotsCache =

@@ -61,13 +61,44 @@ object Multimodal {
 
   /** Repartition media rows by payload bytes, not row count: media rows are
     * wildly variable in size, so equal-row partitions would skew executor
-    * memory. Greedy byte-bin packing via a running-sum bucket id. */
-  def repartitionByBytes(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val withLen = df.withColumn("__len", length(col("media")).cast("long"))
-    val nParts = math.max(1,
-      (withLen.agg(sum(col("__len"))).head.getLong(0) / targetBytesPerPartition).toInt)
-    withLen
-      .repartitionByRange(nParts, col("__len"), col("doc_id"))
-      .drop("__len")
+    * memory. Real byte bin-packing via a distributed prefix sum:
+    *
+    *   pass 1 (narrow, column-pruned): per-input-partition byte totals →
+    *     driver computes P prefix offsets (P scalars, not rows);
+    *   pass 2: each partition assigns bucket = (offset + running) / target
+    *     in input order, then rows route to bucket-numbered partitions via
+    *     an identity partitioner (no hash collisions merging two buckets).
+    *
+    * Every bucket holds ≤ target + one row's bytes. Requires the input to
+    * enumerate deterministically (parquet scans do). */
+  def repartitionByBytes(df: DataFrame, targetBytesPerPartition: Long,
+                         mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val mediaIdx = schema.fieldIndex(mediaCol)
+    val perPart = df
+      .select(spark_partition_id().as("pid"), length(col(mediaCol)).cast("long").as("len"))
+      .groupBy("pid").agg(sum(col("len")).as("bytes"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (perPart.isEmpty) return df
+    val pids = perPart.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + perPart(p)).init).toMap
+    val total = perPart.values.sum
+    val nBuckets = math.max(1L, (total + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    val keyed = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsetsBc.value.getOrElse(pid, 0L)
+      it.map { row =>
+        val b = (acc / targetBytesPerPartition).toInt.min(nBuckets - 1)
+        val m = row.getAs[Array[Byte]](mediaIdx)
+        acc += (if (m == null) 0L else m.length.toLong)
+        (b, row)
+      }
+    }
+    val packed = keyed.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nBuckets
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).values
+    spark.createDataFrame(packed, schema)
   }
 }

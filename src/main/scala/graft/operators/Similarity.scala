@@ -47,18 +47,19 @@ object Similarity {
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
 
-  /** IVF index: assign each corpus vector to its nearest centroid cell.
-    * One broadcast of the centroids; assignment is a narrow map. */
+  /** IVF index: assign each corpus vector to its nearest centroid cell —
+    * a single narrow argmax projection against the broadcast codebook
+    * (zero shuffles, zero row blow-up; a cross-join + per-id window would
+    * exchange nCells copies of every corpus vector). Ties break to the
+    * lowest cell id. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids.select(col("cell_id"), col("centroid"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id").asc)
-    corpus
-      .join(broadcast(cents))
-      .withColumn("__d", Dedup.cosine(col(vecCol), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    val rows = centroids.select(col("cell_id"), col("centroid")).orderBy(col("cell_id")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val bc = corpus.sparkSession.sparkContext.broadcast((ids, vecs))
+    corpus.select(col(idCol), col(vecCol),
+      graft.functions.GraftFunctions.argmax_cell(col(vecCol), bc).as("cell_id"))
   }
 
   /** IVF query: probe the `nProbe` nearest cells per query, then exact

