@@ -355,11 +355,17 @@ object Queries {
 
     // --- multimodal plumbing ----------------------------------------------
     "m01_media_meta" -> ((s, dir) => {
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      // real image decode (ImageIO): synthetic PNGs whose dimensions derive
+      // from doc_id, so the decoded metadata has a closed-form oracle
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(
+          (10 + id % 30).toInt, (10 + (id * 7) % 20).toInt, id)))
+        .toDF("doc_id", "media")
       Multimodal.decode(s, media).toDF()
-        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
-          col("meta.format").as("format"), col("meta.valid").as("valid"))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.valid").as("valid"))
         .orderBy("doc_id")
     }),
 
@@ -587,6 +593,13 @@ object Queries {
         |      WHEN s_en = greatest(s_de, s_en, s_fr, s_ja) THEN 'en'
         |      ELSE 'de' END AS lang_pred
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        | CAST(10 + doc_id % 30 AS INT) AS width,
+        | CAST(10 + (doc_id * 7) % 20 AS INT) AS height,
+        | true AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // fixed expected outputs, encoded as VALUES so the driver enforces the
     // byte-identical parse/extract contracts (not just rows>0)

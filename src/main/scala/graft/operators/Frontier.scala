@@ -175,12 +175,17 @@ object Frontier {
     * wave. Expects (host, url_norm, url_hash, depth, warc_ts) + politeness
     * dim (host, budget). */
   def schedule(df: DataFrame, politeness: Option[DataFrame], cfg: Config): DataFrame = {
+    // contract to the scheduling columns: the bounded-heap pass and both
+    // ranking exchanges must not carry payload-sized columns (e.g. text)
+    // through row ser/de — output is exactly these + batch_rank
+    val pruned0 = df.select(col("host"), col("url_norm"), col("url_hash"),
+      col("depth"), col("warc_ts"))
     val withBudget = politeness match {
       case Some(p) =>
-        df.join(broadcast(p.select(col("host"), col("budget").cast("int").as("__budget"))),
+        pruned0.join(broadcast(p.select(col("host"), col("budget").cast("int").as("__budget"))),
           Seq("host"), "left")
           .withColumn("__budget", coalesce(col("__budget"), lit(cfg.defaultBudget)))
-      case None => df.withColumn("__budget", lit(cfg.defaultBudget))
+      case None => pruned0.withColumn("__budget", lit(cfg.defaultBudget))
     }
     val order = Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc)
     // phase 0 — shuffle-free partial top-k: within each existing partition

@@ -22,16 +22,56 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta)
 
-  /** STUB decoder: deterministic fake metadata derived from the payload
-    * header bytes. A real deployment swaps `decodeOne` for an actual codec
-    * (e.g. TwelveMonkeys ImageIO) — the pipeline shape stays identical. */
+  /** Image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no external
+    * codec libraries needed): real format + dimensions from the stream
+    * header, without buffering the full decoded raster. Payloads ImageIO
+    * cannot identify (e.g. audio/video containers, whose codecs aren't in
+    * this environment) fall back to a clearly-marked deterministic stub so
+    * the pipeline shape stays testable end-to-end. */
   def decodeOne(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.isEmpty) return MediaMeta(0L, "empty", 0, 0, valid = false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          // header-only: width/height come from metadata, no raster decode
+          MediaMeta(bytes.length.toLong, r.getFormatName.toLowerCase,
+            r.getWidth(0), r.getHeight(0), valid = true)
+        } finally r.dispose()
+      } else stubMeta(bytes)
+    } catch {
+      case _: Exception => MediaMeta(bytes.length.toLong, "corrupt", 0, 0, valid = false)
+    } finally iis.close()
+  }
+
+  /** STUB for non-image media (audio/video codecs aren't in this
+    * environment): deterministic fake metadata from the header bytes. */
+  private def stubMeta(bytes: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(java.util.Arrays.copyOf(bytes, math.min(64, bytes.length)))
-    val fmt = (h & 3) match {
-      case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"; case _ => "gif"
+    MediaMeta(bytes.length.toLong, "unknown", 64 + (h & 0x3ff), 64 + ((h >>> 10) & 0x3ff),
+      valid = false)
+  }
+
+  /** Deterministic synthetic PNG (real, ImageIO-decodable) — the media
+    * fixture generator for tests and the m01 oracle query. */
+  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((seed * 31 + x) * 17 + y) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
     }
-    MediaMeta(bytes.length.toLong, fmt, 64 + (h & 0x3ff), 64 + ((h >>> 10) & 0x3ff), valid = true)
+    val bos = new java.io.ByteArrayOutputStream(w * h / 4 + 128)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Batch decode: per-partition, amortized decoder init — the hot loop

@@ -21,6 +21,49 @@ object WarcTool {
   private def open(path: String): java.io.InputStream =
     Codecs.sniffStream(new java.io.BufferedInputStream(new FileInputStream(path), 1 << 16))
 
+  /** Filename for an extracted payload, reference semantics
+    * (/root/reference/cmd/extract.go:116-140): `Content-Disposition`
+    * filename param wins, else the url's last path segment; `/`→`_`;
+    * truncate to 255 bytes KEEPING the extension. */
+  private[tools] def extractName(targetUri: String, contentDisposition: Option[String]): String = {
+    val fromCd = contentDisposition.flatMap { cd =>
+      // mime param parse (F9): filename="quoted" or bare token
+      val m = java.util.regex.Pattern
+        .compile("filename\\s*=\\s*\"?([^\";]+)\"?", java.util.regex.Pattern.CASE_INSENSITIVE)
+        .matcher(cd)
+      if (m.find()) Some(m.group(1).trim).filter(_.nonEmpty) else None
+    }
+    val base0 = fromCd.getOrElse {
+      val noQuery = targetUri.takeWhile(c => c != '?' && c != '#')
+      // last segment of the url PATH (not the host when the path is empty)
+      val schemeEnd = noQuery.indexOf("://")
+      val pathStart = if (schemeEnd >= 0) noQuery.indexOf('/', schemeEnd + 3) else 0
+      val path = if (pathStart >= 0) noQuery.substring(pathStart) else ""
+      path.split("/").lastOption.filter(_.nonEmpty).getOrElse("index")
+    }
+    val base = base0.replace("/", "_")
+    if (base.length <= 255) base
+    else {
+      val dot = base.lastIndexOf('.')
+      // keep the extension when it is a sane suffix (like path.Ext)
+      if (dot > 0 && base.length - dot <= 32) {
+        val ext = base.substring(dot)
+        base.substring(0, 255 - ext.length) + ext
+      } else base.substring(0, 255)
+    }
+  }
+
+  /** Collision handling with `--hash-suffix`
+    * (/root/reference/cmd/extract.go:208-216): same name + same content →
+    * skip; same name + different content → append `[digest-tail]` before
+    * the extension. */
+  private[tools] def hashSuffixName(name: String, digestB32: String): String = {
+    val tail = digestB32.substring(26) // last 6 base32 chars, like the reference
+    val dot = name.lastIndexOf('.')
+    if (dot > 0) s"${name.substring(0, dot)}[$tail]${name.substring(dot)}"
+    else s"$name[$tail]"
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "verify" :: files if files.nonEmpty =>
       var total = 0
@@ -30,16 +73,46 @@ object WarcTool {
         try {
           WarcCodec.readAll(in).foreach { r =>
             total += 1
-            val ok = r.blockDigest.isEmpty || r.blockDigest == r.computedBlockDigest
-            if (!ok) bad += 1
-            println(f"${r.warcType}%-10s cl=${r.contentLength}%-8d digest=${if (ok) "OK" else s"MISMATCH ${r.computedBlockDigest} != ${r.blockDigest}"} uri=${r.targetUri}")
+            val blockOk = r.blockDigest.isEmpty || r.blockDigest == r.computedBlockDigest
+            // payload-digest check (/root/reference/cmd/verify.go:167-252):
+            // re-parse HTTP, recompute over the decoded body, dispatch on
+            // the stored sha1:/sha256: prefix; records whose body was
+            // transformed by the crawler (X-Crawler-*-Encoding) can't be
+            // re-verified and count as failures
+            val stored = r.headers.getOrElse("WARC-Payload-Digest", "")
+            val payloadOk =
+              if (stored.isEmpty || r.warcType == "revisit" ||
+                  !r.headers.getOrElse("Content-Type", "").contains("msgtype=response")) true
+              else try {
+                val msg = HttpCodec.parse(r.content)
+                if (msg.headers.exists(_._1.toLowerCase.startsWith("x-crawler-"))) false
+                else {
+                  val body = HttpCodec.decodedBody(r.content)
+                  stored.split(":", 2) match {
+                    case Array("sha1", d) => d == Digests.sha1Base32(body)
+                    case Array("sha256", d) => d == Digests.sha256Base32(body)
+                    case _ => false
+                  }
+                }
+              } catch { case _: Exception => false }
+            if (!blockOk || !payloadOk) bad += 1
+            val state =
+              if (blockOk && payloadOk) "OK"
+              else if (!blockOk) s"BLOCK-MISMATCH ${r.computedBlockDigest} != ${r.blockDigest}"
+              else "PAYLOAD-MISMATCH"
+            println(f"${r.warcType}%-10s cl=${r.contentLength}%-8d digest=$state uri=${r.targetUri}")
           }
         } finally in.close()
       }
       println(s"checked $total records, $bad digest mismatches")
       if (bad > 0) sys.exit(1)
 
-    case "extract" :: file :: outDir :: Nil =>
+    case "extract" :: rest if rest.length >= 2 =>
+      val flags = rest.filter(_.startsWith("--")).toSet
+      val positional = rest.filterNot(_.startsWith("--"))
+      val (file, outDir) = (positional(0), positional(1))
+      val hostSort = flags.contains("--host-sort")
+      val hashSuffix = flags.contains("--hash-suffix")
       val dir = new java.io.File(outDir)
       dir.mkdirs()
       val in = open(file)
@@ -53,9 +126,20 @@ object WarcTool {
             val body = HttpCodec.decodedBody(r.content)
             val ct = msg.header("Content-Type").getOrElse("unknown").split(";")(0).trim
             counts = counts.updated(ct, counts(ct) + 1)
-            val name = r.targetUri.split("/").lastOption.filter(_.nonEmpty)
-              .getOrElse("index").replace("/", "_").take(200)
-            val out = new java.io.File(dir, s"${Digests.sha1Base32(r.targetUri).take(8)}-$name")
+            val name = extractName(r.targetUri, msg.header("Content-Disposition"))
+            val parent =
+              if (!hostSort) dir
+              else {
+                val host = graft.codec.UrlNormalizer.host(r.targetUri)
+                val d = new java.io.File(dir, if (host.isEmpty) "unknown" else host)
+                d.mkdirs(); d
+              }
+            var out = new java.io.File(parent, name)
+            if (out.exists() && hashSuffix) {
+              val existing = java.nio.file.Files.readAllBytes(out.toPath)
+              if (!java.util.Arrays.equals(existing, body))
+                out = new java.io.File(parent, hashSuffixName(name, Digests.sha1Base32(body)))
+            }
             java.nio.file.Files.write(out.toPath, body)
             println(s"wrote ${out.getPath} (${body.length} B, $ct)")
           }
@@ -77,7 +161,7 @@ object WarcTool {
       if (bad > 0) sys.exit(1)
 
     case _ =>
-      System.err.println("usage: WarcTool verify <file>… | extract <file> <outDir> | write <n> <outDir> [recordsPerFile]")
+      System.err.println("usage: WarcTool verify <file>… | extract <file> <outDir> [--host-sort] [--hash-suffix] | write <n> <outDir> [recordsPerFile]")
       sys.exit(2)
   }
 }

@@ -116,12 +116,32 @@ class MultimodalSpec extends AnyFunSuite {
     (1L, Array.fill[Byte](300)(2)),
     (2L, Array.empty[Byte])).toDF("doc_id", "media")
 
-  test("batch decode produces typed metadata; stub is deterministic") {
-    val out = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
-    assert(out(0).meta.byte_len == 10000L && out(0).meta.valid)
+  test("batch decode: real ImageIO metadata for images, typed fallbacks otherwise") {
+    val png = Multimodal.syntheticPng(37, 21, seed = 5L)
+    val mixed = Seq(
+      (0L, png),
+      (1L, Array.fill[Byte](300)(2)), // not an image → stub, invalid
+      (2L, Array.empty[Byte])).toDF("doc_id", "media")
+    val out = Multimodal.decode(spark, mixed).collect().sortBy(_.doc_id)
+    assert(out(0).meta.format == "png" && out(0).meta.width == 37 &&
+      out(0).meta.height == 21 && out(0).meta.valid)
+    assert(!out(1).meta.valid && out(1).meta.format == "unknown")
     assert(out(2).meta.byte_len == 0L && !out(2).meta.valid && out(2).meta.format == "empty")
-    val out2 = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.decode(spark, mixed).collect().sortBy(_.doc_id)
     assert(out.map(_.meta).toSeq == out2.map(_.meta).toSeq)
+  }
+
+  test("decode: jpeg roundtrip and corrupt-image classification") {
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val corrupt = jpeg.take(8) ++ Array.fill[Byte](4)(0) // valid magic, broken header
+    val out = Multimodal.decode(spark,
+      Seq((0L, jpeg), (1L, corrupt)).toDF("doc_id", "media")).collect().sortBy(_.doc_id)
+    assert(out(0).meta.format.startsWith("jp") && out(0).meta.width == 24 && out(0).meta.valid)
+    assert(!out(1).meta.valid)
   }
 
   test("frame sampling: stride-spaced chunks with exact byte math") {

@@ -1,0 +1,94 @@
+package graft.tools
+
+import graft.codec.{Codecs, Digests, HttpCodec, WarcCodec}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** Extract-sink filename fidelity (/root/reference/cmd/extract.go:116-268)
+  * and the payload-digest verify path (/root/reference/cmd/verify.go:167-252). */
+class WarcToolSpec extends AnyFunSuite {
+
+  test("extractName: Content-Disposition filename param wins over url base") {
+    assert(WarcTool.extractName("https://x.example/a/b.bin",
+      Some("""attachment; filename="report.pdf"""")) == "report.pdf")
+    assert(WarcTool.extractName("https://x.example/a/b.bin",
+      Some("attachment; filename=plain.txt; size=3")) == "plain.txt")
+    assert(WarcTool.extractName("https://x.example/a/b.bin", None) == "b.bin")
+    assert(WarcTool.extractName("https://x.example/a/b.bin?q=1#f", None) == "b.bin")
+    assert(WarcTool.extractName("https://x.example/", None) == "index")
+  }
+
+  test("extractName: 255-byte truncation keeps the extension") {
+    val long = "x" * 300 + ".tar.gz"
+    val out = WarcTool.extractName(s"https://x.example/$long", None)
+    assert(out.length == 255)
+    assert(out.endsWith(".gz"))
+    // no sane extension → plain clamp
+    val noExt = WarcTool.extractName("https://x.example/" + "y" * 400, None)
+    assert(noExt.length == 255 && !noExt.contains('.'))
+  }
+
+  test("hashSuffixName: digest tail inserted before the extension") {
+    val d = Digests.sha1Base32("content".getBytes(UTF_8))
+    val n = WarcTool.hashSuffixName("file.txt", d)
+    assert(n == s"file[${d.substring(26)}].txt")
+    assert(WarcTool.hashSuffixName("noext", d) == s"noext[${d.substring(26)}]")
+  }
+
+  test("extract --hash-suffix: same-name different-content gets a digest suffix") {
+    val dir = Files.createTempDirectory("wt-extract").toString
+    val warc = Files.createTempDirectory("wt-warc").resolve("t.warc.gz").toString
+    def response(url: String, body: String): graft.codec.WarcRecord = {
+      val html = HttpCodec.buildResponse(200, "OK",
+        Seq("Content-Type" -> "text/plain",
+          "Content-Length" -> body.getBytes(UTF_8).length.toString),
+        body.getBytes(UTF_8))
+      graft.sources.WarcIO.pageToRecord(url, new java.sql.Timestamp(1647748545000L), html)
+    }
+    val out = new java.io.FileOutputStream(warc)
+    val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+    w.writeMember(WarcCodec.serialize(response("https://a.example/dup.txt", "first body")))
+    w.writeMember(WarcCodec.serialize(response("https://b.example/dup.txt", "second body")))
+    w.writeMember(WarcCodec.serialize(response("https://c.example/dup.txt", "first body")))
+    w.close(); out.close()
+    WarcTool.main(Array("extract", warc, dir, "--hash-suffix"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(names.contains("dup.txt"))
+    assert(names.exists(n => n.matches("dup\\[[A-Z2-7]{6}\\]\\.txt")),
+      s"expected digest-suffixed collision file, got ${names.mkString(",")}")
+    assert(names.length == 2, "identical content must not duplicate")
+    assert(new String(Files.readAllBytes(
+      new java.io.File(dir, "dup.txt").toPath), UTF_8) == "first body")
+  }
+
+  test("verify: payload-digest recheck passes graft archives, catches tampering") {
+    val dir = Files.createTempDirectory("wt-verify")
+    val good = dir.resolve("good.warc.gz").toString
+    val page = graft.sources.PagesGen.genPage(5L, 100L, 10, 42L)
+    val rec = graft.sources.WarcIO.pageToRecord(page.url, page.warc_ts, page.html)
+    val out = new java.io.FileOutputStream(good)
+    val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+    w.writeMember(WarcCodec.serialize(rec))
+    w.close(); out.close()
+    WarcTool.main(Array("verify", good)) // exits 1 on mismatch → test would die
+
+    // tamper: change the stored payload digest but keep block digest valid
+    val bad = dir.resolve("bad.warc.gz").toString
+    val tampered = WarcCodec.withDefaults(
+      rec.copy(headers = rec.headers
+        - "WARC-Block-Digest"
+        + ("WARC-Payload-Digest" -> "sha1:AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA")),
+      java.time.Instant.ofEpochMilli(page.warc_ts.getTime))
+    val out2 = new java.io.FileOutputStream(bad)
+    val w2 = Codecs.memberWriter(out2, Codecs.GzipCompression)
+    w2.writeMember(WarcCodec.serialize(tampered))
+    w2.close(); out2.close()
+    val in = Codecs.sniffStream(new java.io.BufferedInputStream(new java.io.FileInputStream(bad)))
+    val r = WarcCodec.readAll(in).head
+    assert(r.blockDigest == r.computedBlockDigest, "block digest still valid")
+    val body = HttpCodec.decodedBody(r.content)
+    assert("sha1:" + Digests.sha1Base32(body) !=
+      r.headers("WARC-Payload-Digest"), "payload digest must mismatch")
+  }
+}
