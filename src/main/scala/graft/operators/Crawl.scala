@@ -200,8 +200,11 @@ object Crawl {
               case None => out.newSeen
               case Some(s) => s.unionByName(out.newSeen)
             }
-            seen = Some(seenNext.persist(StorageLevel.MEMORY_AND_DISK))
-            frontier = out.nextFrontier.persist(StorageLevel.MEMORY_AND_DISK)
+            // eager localCheckpoint: truncates the per-round plan lineage
+            // (digestDedup's union branches would otherwise double the
+            // logical plan every round) and materializes before release()
+            seen = Some(seenNext.localCheckpoint(true))
+            frontier = out.nextFrontier.localCheckpoint(true)
         }
         out.release()
         r += 1

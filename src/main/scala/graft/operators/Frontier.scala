@@ -188,63 +188,29 @@ object Frontier {
       case None => pruned0.withColumn("__budget", lit(cfg.defaultBudget))
     }
     val order = Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc)
-    // phase 0 — shuffle-free partial top-k: within each existing partition
-    // keep ≤ budget rows per host (any global top-budget row is in its
-    // partition's top-budget), so the exchanges below carry at most
-    // partitions × budget rows per host no matter how hot the host is
-    val pruned = localTopKPerHost(withBudget, order)
-    val salted = pruned.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
+    // the largest any host's budget can be — a LITERAL, so Catalyst's
+    // InferWindowGroupLimit inserts a map-side partial top-k
+    // (WindowGroupLimit, whole-stage codegen) before BOTH exchanges: each
+    // map task forwards at most maxBudget rows per (host, salt) group, no
+    // matter how hot the host. This replaces a hand-rolled Row-encoder
+    // heap prune that paid object ser/de for every frontier row. The
+    // politeness dim is small (one row per known host): the max() is a
+    // driver-side scalar over a broadcast-sized table, computed once.
+    val maxBudget = politeness
+      .map(p => math.max(cfg.defaultBudget,
+        p.agg(max(col("budget").cast("int"))).head.getInt(0)))
+      .getOrElse(cfg.defaultBudget)
+    val salted = withBudget.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
     val wA = Window.partitionBy(col("host"), col("__salt")).orderBy(order: _*)
     val phaseA = salted
       .withColumn("__rnA", row_number().over(wA))
-      .filter(col("__rnA") <= col("__budget"))
+      .filter(col("__rnA") <= lit(maxBudget) && col("__rnA") <= col("__budget"))
       .drop("__rnA", "__salt")
     val wB = Window.partitionBy(col("host")).orderBy(order: _*)
     phaseA
       .withColumn("batch_rank", row_number().over(wB))
-      .filter(col("batch_rank") <= col("__budget"))
+      .filter(col("batch_rank") <= lit(maxBudget) && col("batch_rank") <= col("__budget"))
       .drop("__budget")
-  }
-
-  /** Map-side partial top-k per host: one pass with a bounded per-host
-    * heap (O(n log budget), no partition sort, no exchange) — output is
-    * ≤ budget rows per (partition, host). Priority matches `schedule`'s
-    * order: (depth asc, warc_ts desc, url_norm asc). */
-  private def localTopKPerHost(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val schema = df.schema
-    val hostIdx = schema.fieldIndex("host")
-    val budgetIdx = schema.fieldIndex("__budget")
-    val depthIdx = schema.fieldIndex("depth")
-    val tsIdx = schema.fieldIndex("warc_ts")
-    val urlIdx = schema.fieldIndex("url_norm")
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(schema)
-    // max-heap on (depth, -ts, url): head = worst row, evicted when full
-    val worstFirst = new Ordering[org.apache.spark.sql.Row] {
-      def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
-        val d = Integer.compare(a.getInt(depthIdx), b.getInt(depthIdx))
-        if (d != 0) return d
-        val t = java.lang.Long.compare(b.getTimestamp(tsIdx).getTime, a.getTimestamp(tsIdx).getTime)
-        if (t != 0) return t
-        a.getString(urlIdx).compareTo(b.getString(urlIdx))
-      }
-    }
-    df.mapPartitions { it =>
-      val heaps = new java.util.HashMap[String, java.util.PriorityQueue[org.apache.spark.sql.Row]]()
-      it.foreach { r =>
-        val budget = r.getInt(budgetIdx)
-        var heap = heaps.get(r.getString(hostIdx))
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[org.apache.spark.sql.Row](
-            budget + 1, worstFirst.reverse)
-          heaps.put(r.getString(hostIdx), heap)
-        }
-        heap.add(r)
-        if (heap.size > budget) heap.poll()
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
-    }
   }
 
   /** Outlink extraction from page text (frontier growth between rounds). */

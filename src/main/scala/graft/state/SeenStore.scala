@@ -118,6 +118,31 @@ object SeenStore {
             out.close()
           }
         }
+
+      // exact per-partition state sidecar: sorted int64 hash arrays, the
+      // "state table" the sketches front. A probe task binary-searches its
+      // partition's array only when the sketch says maybe — so the unseen
+      // filter is EXACT with zero joins. Written executor-side from the
+      // already-partitioned increment (no extra exchange).
+      inc.select(col("seen_part"), col("url_hash"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val byPart = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+          it.foreach { row =>
+            byPart.computeIfAbsent(row.getInt(0),
+              _ => new scala.collection.mutable.ArrayBuffer[Long](1024)) += row.getLong(1)
+          }
+          val conf = new org.apache.hadoop.conf.Configuration()
+          byPart.forEach { (part, buf) =>
+            val arr = buf.toArray
+            java.util.Arrays.sort(arr)
+            val p = new org.apache.hadoop.fs.Path(s"$sketchDir/p-$part.hashes")
+            val out = p.getFileSystem(conf).create(p, true)
+            val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
+            arr.foreach(bb.putLong)
+            out.write(bb.array())
+            out.close()
+          }
+        }
       inc.unpersist()
 
       // commit marker last (atomic rename = the commit point)
@@ -141,27 +166,22 @@ object SeenStore {
         .reduce(_ unionByName _))
     }
 
-    /** Exact unseen filter: sketch fast-path (no join for definite
-      * negatives) + exact anti-join fallback for sketch maybes. The
-      * candidate subtree is persisted before the split so it computes ONCE.
-      * Call `release()` once downstream results are materialized. */
+    /** Exact unseen filter, as one exchange + one narrow filter: candidates
+      * route to their seen-partition, the probe checks the sketch (fast
+      * definite-no) and falls through to a binary search of the partition's
+      * exact sorted-hash state — no join, no second pass over the
+      * candidates, no driver state. `release` is a no-op (kept for API
+      * stability with earlier join-based builds). */
     def filterUnseen(candidates: DataFrame, maxId: Option[Long] = None): Filtered = {
       val ids = maxId.map(m => committedIds.filter(_ <= m)).getOrElse(committedIds)
       if (ids.isEmpty) return Filtered(candidates, () => ())
       val cfg = config
-      val nInc = ids.length
-      val flagged = candidates
+      val out = candidates
         .withColumn("__seen_part", pmod(col("url_hash"), lit(cfg.parts)).cast("int"))
         .repartition(cfg.parts, col("__seen_part"))
-        .withColumn("__maybe", seenMightContain(col("__seen_part"), col("url_hash"), dir, nInc))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val definiteNew = flagged.filter(!col("__maybe"))
-      val seen = seenHashes(candidates.sparkSession, Some(ids.last)).get
-      val checked = flagged.filter(col("__maybe"))
-        .join(seen, Seq("url_hash"), "left_anti")
-      Filtered(
-        definiteNew.unionByName(checked).drop("__seen_part", "__maybe"),
-        () => { flagged.unpersist(); () })
+        .filter(!seenContains(col("__seen_part"), col("url_hash"), dir, ids.length, cfg.parts))
+        .drop("__seen_part")
+      Filtered(out, () => ())
     }
   }
 
@@ -189,8 +209,8 @@ object SeenStore {
     Bridge.column(AggregateExpression(
       CuckooFilterAggregate(Bridge.expression(child), capacity), Complete, isDistinct = false))
 
-  def seenMightContain(part: Column, hash: Column, dir: String, nInc: Int): Column =
-    Bridge.column(SeenMightContain(Bridge.expression(part), Bridge.expression(hash), dir, nInc))
+  def seenContains(part: Column, hash: Column, dir: String, nInc: Int, parts: Int): Column =
+    Bridge.column(SeenContains(Bridge.expression(part), Bridge.expression(hash), dir, nInc, parts))
 }
 
 /** Builds a [[CuckooFilter]] over a LONG column — same shape as Spark's
@@ -223,28 +243,67 @@ case class CuckooFilterAggregate(
     copy(child = c)
 }
 
-/** Codegen probe against the store's per-partition sketches: loads (and
-  * JVM-caches) only the sketch files the task's rows actually hit. */
-case class SeenMightContain(left: Expression, right: Expression, dir: String, nInc: Int)
+/** Codegen EXACT membership probe against the store's per-partition state:
+  * sketch first (fast definite-no), then a binary search of the
+  * partition's sorted-hash sidecar. The per-row path is allocation-free
+  * and lock-free (indexed AtomicReferenceArrays — no string keys, no LRU
+  * lock shared by 32 task threads); the exact arrays load lazily, only for
+  * partitions where a sketch ever says maybe. */
+case class SeenContains(left: Expression, right: Expression,
+                        dir: String, nInc: Int, parts: Int)
     extends BinaryExpression {
+  @transient private lazy val resolver = new SketchResolver(dir, nInc, parts)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullSafeEval(part: Any, hash: Any): Any =
-    SketchBank.mightContain(dir, nInc, part.asInstanceOf[Int], hash.asInstanceOf[Long])
+    resolver.contains(part.asInstanceOf[Int], hash.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val dirRef = ctx.addReferenceObj("seenDir", dir, "java.lang.String")
-    defineCodeGen(ctx, ev, (p, h) => s"graft.state.SketchBank.mightContain($dirRef, $nInc, $p, $h)")
+    val ref = ctx.addReferenceObj("seenResolver", resolver, classOf[SketchResolver].getName)
+    defineCodeGen(ctx, ev, (p, h) => s"$ref.contains($p, $h)")
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): SeenMightContain =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SeenContains =
     copy(left = l, right = r)
-  override def prettyName: String = "seen_might_contain"
+  override def prettyName: String = "seen_contains"
 }
 
-/** Per-JVM lazy sketch loader. An executor ends up caching only the
-  * partitions routed to it (candidates are exchanged on seen_part), so
-  * executor memory is O(|seen| / parts × parts-per-executor), and driver
-  * memory is O(1) — independent of |seen|. */
+/** One resolver per probe expression: lazily loads each (increment,
+  * partition) sketch/state blob once per JVM slot, lock-free reads
+  * thereafter. A task only ever touches the partitions routed to it, so
+  * executor memory is O(|seen|/parts × parts-touched), and the driver
+  * holds nothing. */
+final class SketchResolver(dir: String, nInc: Int, parts: Int) extends Serializable {
+  @transient private lazy val probes =
+    new java.util.concurrent.atomic.AtomicReferenceArray[SketchBank.Probe](nInc * parts)
+  @transient private lazy val exact =
+    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](nInc * parts)
+
+  def contains(part: Int, hash: Long): Boolean = {
+    var i = 0
+    while (i < nInc) {
+      val idx = i * parts + part
+      var p = probes.get(idx)
+      if (p == null) {
+        probes.compareAndSet(idx, null, SketchBank.load(s"$dir/inc-$i/sketch/p-$part"))
+        p = probes.get(idx)
+      }
+      if (p.mightContain(hash)) {
+        // sketch maybe → exact sorted-hash state decides (no false positives)
+        var arr = exact.get(idx)
+        if (arr == null) {
+          exact.compareAndSet(idx, null,
+            SketchBank.loadHashes(s"$dir/inc-$i/sketch/p-$part.hashes"))
+          arr = exact.get(idx)
+        }
+        if (java.util.Arrays.binarySearch(arr, hash) >= 0) return true
+      }
+      i += 1
+    }
+    false
+  }
+}
+
+/** Sketch-blob loader (cold path only — resolvers cache the result). */
 object SketchBank {
-  private trait Probe { def mightContain(h: Long): Boolean }
+  private[state] trait Probe { def mightContain(h: Long): Boolean }
   private object Absent extends Probe { def mightContain(h: Long) = false }
   private final class Bloom(b: org.apache.spark.util.sketch.BloomFilter) extends Probe {
     def mightContain(h: Long): Boolean = b.mightContainLong(h)
@@ -253,32 +312,24 @@ object SketchBank {
     def mightContain(h: Long): Boolean = c.mightContain(h)
   }
 
-  private val MaxEntries = 4096
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Probe](256, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Probe]): Boolean =
-        size > MaxEntries
-    })
-
-  def mightContain(dir: String, nInc: Int, part: Int, hash: Long): Boolean = {
+  /** Sorted int64 state sidecar; absent file → empty array. */
+  private[state] def loadHashes(path: String): Array[Long] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.emptyLongArray
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    val out = new Array[Long](len / 8)
     var i = 0
-    while (i < nInc) {
-      if (get(dir, i, part).mightContain(hash)) return true
-      i += 1
-    }
-    false
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
   }
 
-  private def get(dir: String, inc: Int, part: Int): Probe = {
-    val key = s"$dir/inc-$inc/sketch/p-$part"
-    val hit = cache.get(key)
-    if (hit != null) return hit
-    val loaded = load(key)
-    cache.put(key, loaded)
-    loaded
-  }
-
-  private def load(prefix: String): Probe = {
+  private[state] def load(prefix: String): Probe = {
     val conf = new org.apache.hadoop.conf.Configuration()
     def bytesOf(p: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
       val fs = p.getFileSystem(conf)
@@ -300,7 +351,4 @@ object SketchBank {
         .map(b => new Cuckoo(CuckooFilter.deserialize(b)): Probe))
       .getOrElse(Absent)
   }
-
-  /** test hook */
-  private[graft] def clear(): Unit = cache.clear()
 }

@@ -225,6 +225,39 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("politeness carryover: budget-pruned candidates defer, never drop") {
+    // one host, budget 1, several seeds: every seed must eventually be
+    // fetched, one per round, in priority order — not silently dropped
+    val host0seeds = (0L until N).map(id => PagesGen.cleanUrl(id, nHosts, 42L))
+      .filter(u => UrlNormalizer.host(u) == "host1.example").distinct.take(4)
+    assert(host0seeds.size == 4, "fixture must provide 4 host1 urls")
+    val politeness1 = Seq(("host1.example", 1)).toDF("host", "budget")
+    var frontier = host0seeds.toDF("url")
+      .withColumn("depth", lit(0))
+      .withColumn("warc_ts", lit(new java.sql.Timestamp(PagesGen.BaseEpochSec * 1000L)))
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    var fetchedUrls = Vector.empty[String]
+    for (_ <- 0 until 4) {
+      // no link discovery interference: restrict the frontier to the seeds
+      val out = Crawl.round(frontier, seen, web, None, Some(politeness1),
+        cfg.copy(defaultBudget = 1), withCounters = false)
+      val sched = out.newSeen.select("url_norm").as[String].collect()
+      assert(sched.length <= 1, "budget 1 → at most one fetch per round")
+      fetchedUrls ++= sched
+      // eager localCheckpoint truncates the cross-round plan lineage
+      seen = Some(seen.map(_.unionByName(out.newSeen)).getOrElse(out.newSeen)
+        .select("url_hash", "url_norm").localCheckpoint(true))
+      // next round = deferred candidates only (drop discovered links to
+      // isolate the carryover property)
+      frontier = out.nextFrontier
+        .filter(col("depth") === 0)
+        .localCheckpoint(true)
+      out.release()
+    }
+    assert(fetchedUrls.distinct.size == 4,
+      s"all 4 candidates must be fetched across rounds, got $fetchedUrls")
+  }
+
   test("crawl counters: revisits and byte sums are deterministic") {
     val res = Crawl.crawl(spark, web, seeds, 2,
       Some(robotsDf), Some(politenessDf), cfg)

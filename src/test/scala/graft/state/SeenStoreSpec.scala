@@ -92,7 +92,7 @@ class SeenStoreSpec extends AnyFunSuite {
     val cand = spark.range(0, 4000).select(xxhash64(col("id")).as("url_hash"))
     val f = store.filterUnseen(cand)
     val plan = f.result.queryExecution.executedPlan.toString
-    assert(plan.contains("seen_might_contain"), "probe expression missing from plan")
+    assert(plan.contains("seen_contains"), "probe expression missing from plan")
     assert(!plan.contains("bloomFilter"), "no driver-side bloom subquery expected")
     assert(f.result.count() == 2000L)
     f.release()
