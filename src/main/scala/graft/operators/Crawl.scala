@@ -57,7 +57,8 @@ object Crawl {
       politeness: Option[DataFrame],
       cfg: Frontier.Config,
       withCounters: Boolean = true,
-      seenStore: Option[SeenStore.Store] = None): RoundOutput = {
+      seenStore: Option[SeenStore.Store] = None,
+      cdx: Option[DataFrame] = None): RoundOutput = {
 
     val canonical = Frontier.canonicalize(frontier)
       .select(col("url_norm"), col("host"), col("url_hash"), col("depth"), col("warc_ts"))
@@ -90,9 +91,12 @@ object Crawl {
       .withColumn("payload_digest", sha1_base32(col("payload")))
       .drop("payload")
     // refers_to_ts must be the first capture's *capture* time (page_ts) so a
-    // revisit's WARC-Refers-To id matches the response record it references
-    val fetched = Frontier.digestDedup(fetched0, cfg, captureTsCol = "page_ts")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // revisit's WARC-Refers-To id matches the response record it references;
+    // with a CDX index, local-then-remote precedence applies (J3)
+    val fetched = (cdx match {
+      case Some(c) => Frontier.digestDedupWithCdx(fetched0, c, cfg, captureTsCol = "page_ts")
+      case None => Frontier.digestDedup(fetched0, cfg, captureTsCol = "page_ts")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // link discovery from non-revisit fetches; discovery recency = the
     // linking page's capture time
@@ -145,7 +149,8 @@ object Crawl {
       politeness: Option[DataFrame] = None,
       cfg: Frontier.Config = Frontier.Config(),
       stateDir: Option[String] = None,
-      warcDir: Option[String] = None): CrawlResult = {
+      warcDir: Option[String] = None,
+      cdx: Option[DataFrame] = None): CrawlResult = {
     import spark.implicits._
 
     val store = stateDir.map(d => SeenStore(d + "/seen",
@@ -180,7 +185,8 @@ object Crawl {
     while (r < startRound + maxRounds && !done) {
       if (frontier.isEmpty) done = true
       else {
-        val out = round(frontier, seen, web, robots, politeness, cfg, seenStore = store)
+        val out = round(frontier, seen, web, robots, politeness, cfg,
+          seenStore = store, cdx = cdx)
         allCounters :+= out.counters
         // optional archival sink: the round's captures as rotated WARC
         // (responses + truncated revisit records, K3 semantics)

@@ -63,15 +63,21 @@ object WarcIO {
     * headers, refers-to pointers + identical-payload-digest profile. */
   def revisitRecord(url: String, ts: java.sql.Timestamp, html: Array[Byte],
                     payloadDigest: String, refersToUrl: String,
-                    refersToTs: java.sql.Timestamp): WarcRecord = {
+                    refersToTs: java.sql.Timestamp,
+                    localHit: Boolean = true): WarcRecord = {
     val eoh = HttpCodec.endOfHeaders(html)
     val truncated = if (eoh > 0) java.util.Arrays.copyOf(html, eoh) else html
     val refersToDate = WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(refersToTs.getTime))
-    WarcCodec.withDefaults(WarcRecord("WARC/1.1", Map(
+    // WARC-Refers-To (the referenced record's id) only exists for LOCAL
+    // hits — a CDX hit references a record in someone else's archive
+    // (/root/reference/dialer.go:520-523)
+    val refersToId =
+      if (localHit) Map("WARC-Refers-To" -> WarcCodec.recordIdFor(refersToUrl, refersToDate))
+      else Map.empty[String, String]
+    WarcCodec.withDefaults(WarcRecord("WARC/1.1", refersToId ++ Map(
       "WARC-Type" -> "revisit",
       "WARC-Target-URI" -> url,
       "WARC-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime)),
-      "WARC-Refers-To" -> WarcCodec.recordIdFor(refersToUrl, refersToDate),
       "WARC-Refers-To-Target-URI" -> refersToUrl,
       "WARC-Refers-To-Date" -> refersToDate,
       // the WARC 1.1 profile URI, /root/reference/dialer.go:525
@@ -89,13 +95,18 @@ object WarcIO {
                    recordsPerFile: Int = 1000,
                    compression: Codecs.Compression = Codecs.GzipCompression,
                    maxFileBytes: Long = DefaultMaxFileBytes): Long = {
+    val sourceCol =
+      if (fetched.columns.contains("dedupe_source")) col("dedupe_source")
+      else when(col("is_revisit"), lit("local"))
     val projected = fetched.select(
       col("url_norm"), col("page_ts"), col("html"), col("is_revisit"),
-      col("payload_digest"), col("refers_to_url"), col("refers_to_ts"))
+      col("payload_digest"), col("refers_to_url"), col("refers_to_ts"),
+      sourceCol.as("__source"))
     writeRecordFiles(projected, dir, prefix, recordsPerFile, compression, maxFileBytes) { row =>
       if (row.getBoolean(3))
         revisitRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2),
-          row.getString(4), row.getString(5), row.getTimestamp(6))
+          row.getString(4), row.getString(5), row.getTimestamp(6),
+          localHit = row.getString(7) == "local")
       else pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
     }
   }
@@ -171,6 +182,24 @@ object WarcIO {
         } finally closeFile()
       }
     written.value
+  }
+
+  /** WARC archives → the engine's pages table (BASELINE.json input_hint
+    * shape): response records become (url, warc_ts, html, text, lang) rows,
+    * with `text` re-extracted through the byte-identical decode path and
+    * `lang` inferred (the archive doesn't carry it). This closes the loop:
+    * a reference user's existing .warc.gz/.warc.zst corpus feeds the
+    * frontier, dedup and text-analysis operators directly. */
+  def recordsToPages(records: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    records
+      .filter(col("warc_type") === "response")
+      .select(
+        col("target_uri").as("url"),
+        col("warc_date").cast("timestamp").as("warc_ts"),
+        col("content").as("html"))
+      .withColumn("text", http_extract_text(col("html")))
+      .withColumn("lang", graft.operators.TextAnalysis.langId(col("text")))
   }
 
   /** Parallel WARC scan: one task per file, *streaming* parse — only file

@@ -113,6 +113,12 @@ object WarcTool {
       val (file, outDir) = (positional(0), positional(1))
       val hostSort = flags.contains("--host-sort")
       val hashSuffix = flags.contains("--hash-suffix")
+      // --content-type=a,b keeps responses whose HTTP Content-Type contains
+      // any given value (/root/reference/cmd/extract.go:100-104)
+      val ctFilter: Seq[String] = flags.collectFirst {
+        case f if f.startsWith("--content-type=") =>
+          f.stripPrefix("--content-type=").split(",").toSeq.filter(_.nonEmpty)
+      }.getOrElse(Seq.empty)
       val dir = new java.io.File(outDir)
       dir.mkdirs()
       val in = open(file)
@@ -123,8 +129,10 @@ object WarcTool {
           .filter(_.warcType != "revisit")
           .foreach { r =>
             val msg = HttpCodec.parse(r.content)
+            val httpCt = msg.header("Content-Type").getOrElse("")
+            if (ctFilter.isEmpty || ctFilter.exists(httpCt.contains)) {
             val body = HttpCodec.decodedBody(r.content)
-            val ct = msg.header("Content-Type").getOrElse("unknown").split(";")(0).trim
+            val ct = if (httpCt.isEmpty) "unknown" else httpCt.split(";")(0).trim
             counts = counts.updated(ct, counts(ct) + 1)
             val name = extractName(r.targetUri, msg.header("Content-Disposition"))
             val parent =
@@ -142,6 +150,7 @@ object WarcTool {
             }
             java.nio.file.Files.write(out.toPath, body)
             println(s"wrote ${out.getPath} (${body.length} B, $ct)")
+            }
           }
       } finally in.close()
       counts.toSeq.sortBy(_._1).foreach { case (ct, n) => println(s"$ct: $n") }

@@ -109,6 +109,61 @@ class WarcIOSpec extends AnyFunSuite {
     assert(files.forall(_.length <= 64 * 1024 + 512 * 1024))
   }
 
+  test("WARC archives feed the engine: recordsToPages round-trips the pages table") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val pages = PagesGen.pages(spark, 300, 10, 42L).toDF()
+    WarcIO.writePages(pages, dir, recordsPerFile = 100)
+    val back = WarcIO.recordsToPages(WarcIO.readRecords(spark, dir)).cache()
+    assert(back.count() == 300L)
+    // url + timestamp + extracted text survive the full write→read→ingest loop
+    val orig = pages.select(col("url"), col("warc_ts"), sha2(col("text"), 256).as("d"))
+      .as[(String, java.sql.Timestamp, String)].collect().toSet
+    val got = back.select(col("url"), col("warc_ts"), sha2(col("text"), 256).as("d"))
+      .as[(String, java.sql.Timestamp, String)].collect().toSet
+    assert(got == orig, "pages → WARC → pages must be lossless on (url, ts, text)")
+    // and the ingested table drives the frontier directly
+    val canon = graft.operators.Frontier.canonicalize(back)
+    assert(canon.count() > 0)
+  }
+
+  test("CDX crawl: remote hits become revisits without WARC-Refers-To") {
+    import graft.operators.{Crawl, Frontier}
+    val dir = Files.createTempDirectory("graft-cdxwarc").toString
+    val cfg = Frontier.Config(defaultBudget = 1000, sizeThreshold = 100)
+    val pages = PagesGen.pages(spark, 500, 10, 42L).toDF()
+    val web = Crawl.asWeb(pages).cache()
+    // remote index: every page with a text longer than threshold whose
+    // doc id is even is "already archived elsewhere"
+    val cdx = web.filter(length(col("text")) >= 100)
+      .filter(xxhash64(col("url_norm")) % 2 === 0)
+      .select(
+        graft.functions.GraftFunctions.sha1_base32(encode(col("text"), "UTF-8")).as("payload_digest"),
+        concat(lit("https://other-archive.example/"), col("url_norm")).as("target_uri"),
+        col("page_ts").as("capture_ts"),
+        lit("text/html").as("record_type"))
+    val frontier = Frontier.canonicalize(pages).select(col("url_norm").as("url"))
+      .withColumn("depth", lit(0))
+      .withColumn("warc_ts", lit(new java.sql.Timestamp(PagesGen.BaseEpochSec * 1000L)))
+    val out = Crawl.round(frontier, None, web, None, None, cfg,
+      withCounters = true, cdx = Some(cdx))
+    assert(out.counters("revisits") > 0)
+    val srcCounts = out.fetched.groupBy("dedupe_source").count()
+      .as[(String, Long)].collect().toMap
+    assert(srcCounts.getOrElse("cdx", 0L) > 0, "remote dedupe must fire")
+    WarcIO.writeFetched(out.fetched, dir, recordsPerFile = 500)
+    val revisits = WarcIO.readRecords(spark, dir)
+      .filter(col("warc_type") === "revisit")
+      .select("headers").as[Map[String, String]].collect()
+    assert(revisits.nonEmpty)
+    val (localRev, cdxRev) = revisits.partition(_.contains("WARC-Refers-To"))
+    assert(cdxRev.nonEmpty, "cdx revisits must omit WARC-Refers-To")
+    cdxRev.foreach { h =>
+      assert(h("WARC-Refers-To-Target-URI").startsWith("https://other-archive.example/"))
+    }
+    // local revisits (if any) keep the resolvable record id
+    localRev.foreach(h => assert(h("WARC-Refers-To").startsWith("<urn:uuid:")))
+  }
+
   test("warcinfo + filename discipline matches reference shape") {
     val dir = Files.createTempDirectory("graft-warc2").toString
     WarcIO.writePages(PagesGen.pages(spark, 20, 5, 42L).toDF().coalesce(1), dir)
