@@ -176,9 +176,13 @@ object SeenStore {
       val ids = maxId.map(m => committedIds.filter(_ <= m)).getOrElse(committedIds)
       if (ids.isEmpty) return Filtered(candidates, () => ())
       val cfg = config
+      // any hash exchange on __seen_part gives each task locality over a
+      // few store partitions; leaving the partition count to
+      // spark.sql.shuffle.partitions (not cfg.parts) keeps AQE free to
+      // coalesce and decouples probe parallelism from state layout
       val out = candidates
         .withColumn("__seen_part", pmod(col("url_hash"), lit(cfg.parts)).cast("int"))
-        .repartition(cfg.parts, col("__seen_part"))
+        .repartition(col("__seen_part"))
         .filter(!seenContains(col("__seen_part"), col("url_hash"), dir, ids.length, cfg.parts))
         .drop("__seen_part")
       Filtered(out, () => ())
