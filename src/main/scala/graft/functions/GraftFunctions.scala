@@ -49,6 +49,19 @@ object Kernels {
     ids(best)
   }
 
+  // language table shared by every LangId call in the JVM (built once)
+  private lazy val langTable: Array[(String, java.util.HashSet[String])] =
+    graft.operators.TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (l, s)
+    }.toArray
+
+  def fingerprint(s: UTF8String, w: Int, k: Int): UTF8String =
+    UTF8String.fromString(Hashing.fingerprint(s.toString, w, k))
+  def langId(s: UTF8String): UTF8String =
+    UTF8String.fromString(Hashing.langId(s.toString, langTable))
+
   def urlNormalize(s: UTF8String): UTF8String =
     UTF8String.fromString(UrlNormalizer.normalize(s.toString))
   def urlHost(s: UTF8String): UTF8String =
@@ -177,6 +190,25 @@ case class SimHash64(child: Expression, k: Int) extends KernelUnary {
   override def prettyName: String = "simhash64"
 }
 
+/** Winnowing-style min-k fingerprint over character w-grams. */
+case class FingerprintExpr(child: Expression, w: Int, k: Int) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = s"graft.functions.Kernels.fingerprint(%s, $w, $k)"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.fingerprint(v.asInstanceOf[UTF8String], w, k)
+  override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+/** Stopword-table language ID (argmax with the greatest-lang tie rule). */
+case class LangIdExpr(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.langId(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.langId(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
+  override def prettyName: String = "lang_id"
+}
+
 /** Banded random-hyperplane LSH signatures over a FLOAT vector — one
   * kernel call per row (the HOF formulation evaluates interpreted and
   * recomputes the hyperplane draws per row·plane·dim). */
@@ -270,6 +302,9 @@ object GraftFunctions {
     col(JaccardShingles(expr(a), expr(b), k))
   def hyperplane_sigs(v: Column, nTables: Int, bandBits: Int, seed: Long): Column =
     col(HyperplaneSigs(expr(v), nTables, bandBits, seed))
+  def doc_fingerprint(c: Column, w: Int, k: Int): Column =
+    col(FingerprintExpr(expr(c), w, k))
+  def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =

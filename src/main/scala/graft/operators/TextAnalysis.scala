@@ -57,8 +57,16 @@ object TextAnalysis {
     filter(tokens, t => stops.map(s => t === s).reduce(_ || _))
 
   /** Predicted language: argmax stopword-hit count over the table; "und"
-    * (undetermined) when no stopword hits at all. */
-  def langId(c: Column): Column = {
+    * (undetermined) when no stopword hits at all. Ties go to the
+    * lexicographically greatest language code (mirrored by the t03
+    * oracle). One codegen kernel call per row — the HOF formulation
+    * (per-language interpreted array filters) was 4 interpreted passes
+    * over every document's tokens. */
+  def langId(c: Column): Column = graft.functions.GraftFunctions.lang_id(c)
+
+  /** Equivalent declarative form (kept for reference/verification — the
+    * kernel must match it; asserted in TextAnalysisSpec). */
+  private[operators] def langIdDeclarative(c: Column): Column = {
     val tokens = split(lower(c), "\\s+")
     val scored = stopwords.keys.toSeq.sorted.map { l =>
       struct(langScore(tokens, l).as("score"), lit(l).as("lang"))
@@ -68,11 +76,9 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: winnowing-style min-k of 64-bit
-    * hashes over character w-grams — robust to small edits, built from
-    * array expressions (no UDF). */
-  def fingerprint(c: Column, w: Int = 8, k: Int = 4): Column = {
-    val grams = transform(sequence(lit(1), greatest(length(c) - (w - 1), lit(1))),
-      i => xxhash64(c.substr(i, lit(w))))
-    concat_ws(",", transform(slice(sort_array(grams), 1, k), h => conv(h.cast("string"), 10, 16)))
-  }
+    * xxh64 values over character w-grams — robust to small edits. One
+    * codegen kernel pass per row (the array-expression form hashed every
+    * gram through interpreted HOFs). */
+  def fingerprint(c: Column, w: Int = 8, k: Int = 4): Column =
+    graft.functions.GraftFunctions.doc_fingerprint(c, w, k)
 }

@@ -40,6 +40,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == "und")
   }
 
+  test("langId kernel equals the declarative greatest(struct) formulation") {
+    val pages = PagesGen.pages(spark, 1500, 20, 42L).toDF()
+    val mism = pages
+      .withColumn("a", TextAnalysis.langId(col("text")))
+      .withColumn("b", TextAnalysis.langIdDeclarative(col("text")))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(mism == 0L, "kernel and declarative langId must agree incl. tie rules")
+  }
+
   test("fingerprint is deterministic and collision-resistant on distinct docs") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
