@@ -333,6 +333,11 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    "t05_stopword_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")),
+
     "t04_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -638,6 +643,20 @@ object Queries {
          | JOIN sh sa ON sa.doc_id = id_a
          | JOIN sh sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "t05_stopword_ratio" -> {
+      val allStops = graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.sorted
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks, x -> x IN ($allStops))) AS DOUBLE)
+         |           / CAST(len(toks) AS DOUBLE) END AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

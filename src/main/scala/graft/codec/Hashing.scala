@@ -288,6 +288,21 @@ object Hashing {
     bestLang
   }
 
+  /** Fraction of whitespace tokens that are stopwords (any language in the
+    * table); 0.0 for blank text. A standard web-text quality signal:
+    * near-0 for boilerplate/gibberish, ~0.2-0.5 for natural prose. */
+  def stopwordRatio(text: String, stops: java.util.HashSet[String]): Double = {
+    val ts = tokens(text)
+    if (ts.length == 0) return 0.0
+    var hits = 0
+    var i = 0
+    while (i < ts.length) {
+      if (stops.contains(ts(i))) hits += 1
+      i += 1
+    }
+    hits.toDouble / ts.length
+  }
+
   /** Cosine similarity of two float vectors, each accumulator a sequential
     * double fold — bitwise-identical to the DuckDB oracle's
     * list_sum(list_transform(...)) evaluation order. */

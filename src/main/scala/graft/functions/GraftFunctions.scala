@@ -57,6 +57,13 @@ object Kernels {
       (l, s)
     }.toArray
 
+  private lazy val allStops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.operators.TextAnalysis.stopwords.values.flatten.foreach(s.add)
+    s
+  }
+  def stopwordRatio(s: UTF8String): Double = Hashing.stopwordRatio(s.toString, allStops)
+
   def fingerprint(s: UTF8String, w: Int, k: Int): UTF8String =
     UTF8String.fromString(Hashing.fingerprint(s.toString, w, k))
   def langId(s: UTF8String): UTF8String =
@@ -200,6 +207,15 @@ case class FingerprintExpr(child: Expression, w: Int, k: Int) extends KernelUnar
   override def prettyName: String = "doc_fingerprint"
 }
 
+/** Stopword fraction of the whitespace tokens (web-text quality signal). */
+case class StopwordRatio(child: Expression) extends KernelUnary {
+  override def dataType: DataType = DoubleType
+  override protected def kernelCall = "graft.functions.Kernels.stopwordRatio(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.stopwordRatio(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): StopwordRatio = copy(child = c)
+  override def prettyName: String = "stopword_ratio"
+}
+
 /** Stopword-table language ID (argmax with the greatest-lang tie rule). */
 case class LangIdExpr(child: Expression) extends KernelUnary {
   override def dataType: DataType = StringType
@@ -305,6 +321,7 @@ object GraftFunctions {
   def doc_fingerprint(c: Column, w: Int, k: Int): Column =
     col(FingerprintExpr(expr(c), w, k))
   def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))
+  def stopword_ratio(c: Column): Column = col(StopwordRatio(expr(c)))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =

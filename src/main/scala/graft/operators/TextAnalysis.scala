@@ -29,7 +29,12 @@ object TextAnalysis {
       split(c, "(?<=[^a-zA-Z0-9])|(?=[^a-zA-Z0-9])"),
       t => length(trim(t)) > 0))
 
-  /** Quality projection: one struct column of raw counts. */
+  /** Stopword fraction of tokens — the classic web-text quality signal
+    * (near-0 for boilerplate/gibberish); one codegen kernel call. */
+  def stopwordRatio(c: Column): Column =
+    graft.functions.GraftFunctions.stopword_ratio(c)
+
+  /** Quality projection: raw counts + the stopword-ratio signal. */
   def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("n_chars_m", length(col(textCol)))
@@ -37,6 +42,7 @@ object TextAnalysis {
       .withColumn("digit_chars", digitChars(col(textCol)))
       .withColumn("punct_chars", punctChars(col(textCol)))
       .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
 
   // --- Language identification (n-gram / stopword heuristic) --------------
 
