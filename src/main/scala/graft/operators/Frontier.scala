@@ -161,6 +161,23 @@ object Frontier {
       .drop("__robots_body")
   }
 
+  /** Derive a politeness-budget dim from robots.txt Crawl-delay: a host
+    * declaring `Crawl-delay: d` gets `floor(windowSec / d)` fetches per
+    * scheduling wave (min 1); hosts without a delay keep the caller's
+    * default. Output shape matches `schedule`'s politeness dim
+    * (host, budget) — one row per known host, broadcast-sized. */
+  def budgetsFromRobots(robots: DataFrame, windowSec: Double, cfg: Config): DataFrame = {
+    val agent = cfg.agent
+    val default = cfg.defaultBudget
+    val budgetOf = udf { (body: String) =>
+      cachedRules(body, agent).crawlDelay match {
+        case Some(d) if d > 0 => math.max(1, math.floor(windowSec / d).toInt)
+        case _ => default
+      }
+    }
+    robots.select(col("host"), budgetOf(col("body")).as("budget"))
+  }
+
   /** Stage 5 — politeness scheduling: per-host top-`budget` by priority
     * (depth asc, warc_ts desc, url asc — the north_star priority queue),
     * realized as a skew-safe two-phase ranking:

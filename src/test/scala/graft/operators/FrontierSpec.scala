@@ -225,6 +225,19 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetsFromRobots: Crawl-delay drives the per-host budget dim") {
+    val robots = Seq(
+      ("a.example", "User-agent: *\nCrawl-delay: 10\nDisallow: /private"),
+      ("b.example", "User-agent: *\nCrawl-delay: 0.5"),
+      ("c.example", "User-agent: *\nDisallow: /x"), // no delay → default
+      ("d.example", "User-agent: *\nCrawl-delay: 3600")) // slower than window → 1
+      .toDF("host", "body")
+    val got = Frontier.budgetsFromRobots(robots, windowSec = 60.0,
+      Frontier.Config(defaultBudget = 7))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a.example" -> 6, "b.example" -> 120, "c.example" -> 7, "d.example" -> 1))
+  }
+
   test("politeness carryover: budget-pruned candidates defer, never drop") {
     // one host, budget 1, several seeds: every seed must eventually be
     // fetched, one per round, in priority order — not silently dropped
