@@ -340,5 +340,8 @@ object GraftFunctions {
     one("gunzip", GunzipExpr)
     one("http_extract_text", HttpExtractText)
     one("http_parse", HttpParse)
+    one("lang_id", LangIdExpr)
+    one("stopword_ratio", StopwordRatio)
+    one("doc_fingerprint", e => FingerprintExpr(e, 8, 4))
   }
 }
