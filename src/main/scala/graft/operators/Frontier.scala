@@ -215,7 +215,7 @@ object Frontier {
     // driver-side scalar over a broadcast-sized table, computed once.
     val maxBudget = politeness
       .map(p => math.max(cfg.defaultBudget,
-        p.agg(max(col("budget").cast("int"))).head.getInt(0)))
+        p.agg(coalesce(max(col("budget").cast("int")), lit(0))).head.getInt(0)))
       .getOrElse(cfg.defaultBudget)
     val salted = withBudget.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
     val wA = Window.partitionBy(col("host"), col("__salt")).orderBy(order: _*)
