@@ -115,6 +115,15 @@ object UrlNormalizer {
     Some((scheme, userinfo, host, port, path, query))
   }
 
+  /** Root-dot FQDNs drop ALL trailing dots (a single stripSuffix is not a
+    * fixed point for hosts ending in '..', breaking normalize idempotence
+    * — caught by CodecPropertySpec). */
+  private def stripTrailingDots(h: String): String = {
+    var end = h.length
+    while (end > 0 && h.charAt(end - 1) == '.') end -= 1
+    h.substring(0, end)
+  }
+
   private def defaultPort(scheme: String): Int = scheme match {
     case "http" => 80
     case "https" => 443
@@ -132,7 +141,7 @@ object UrlNormalizer {
       case None => trimmed
       case Some((scheme0, userinfo, host0, port, path0, query)) =>
         val scheme = scheme0.toLowerCase
-        val host = host0.toLowerCase.stripSuffix(".")
+        val host = stripTrailingDots(host0.toLowerCase)
         val portPart = if (port < 0 || port == defaultPort(scheme)) "" else s":$port"
         val userPart = if (userinfo.isEmpty) "" else userinfo + "@"
         val path1 = normalizePercent(path0)
@@ -150,5 +159,5 @@ object UrlNormalizer {
 
   /** Lowercased host of a url, or "" when unparseable. */
   def host(url: String): String =
-    if (url == null) "" else split(url.trim).map(_._3.toLowerCase.stripSuffix(".")).getOrElse("")
+    if (url == null) "" else split(url.trim).map(h => stripTrailingDots(h._3.toLowerCase)).getOrElse("")
 }
