@@ -48,6 +48,33 @@ object WarcIO {
     WarcCodec.withDefaults(base, Instant.ofEpochMilli(ts.getTime))
   }
 
+  /** The request record of a fetch pair (J1): the exact bytes the crawler
+    * sends (GET + Host + the forced Accept-Encoding: gzip of the
+    * reference's transport, /root/reference/transport.go:16-35), typed
+    * `request` and cross-linked to its response via WARC-Concurrent-To
+    * (/root/reference/dialer.go:380-388). */
+  def requestRecord(url: String, ts: java.sql.Timestamp, concurrentTo: String,
+                    agent: String = "graftbot"): WarcRecord = {
+    val date = WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime))
+    val (host, target) = {
+      val schemeEnd = url.indexOf("://")
+      val pathStart = if (schemeEnd >= 0) url.indexOf('/', schemeEnd + 3) else -1
+      if (pathStart < 0) (url.substring(math.max(0, schemeEnd + 3)), "/")
+      else (url.substring(schemeEnd + 3, pathStart), url.substring(pathStart))
+    }
+    val bytes = (s"GET $target HTTP/1.1\r\nHost: $host\r\nUser-Agent: $agent\r\n" +
+      "Accept-Encoding: gzip\r\n\r\n").getBytes(UTF_8)
+    WarcCodec.withDefaults(WarcRecord("WARC/1.1", Map(
+      "WARC-Type" -> "request",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> date,
+      "WARC-Record-ID" -> WarcCodec.recordIdFor("request|" + url, date),
+      // the paired response/revisit record's id (dialer.go:380-388)
+      "WARC-Concurrent-To" -> concurrentTo,
+      "Content-Type" -> "application/http; msgtype=request"
+    ), bytes), Instant.ofEpochMilli(ts.getTime))
+  }
+
   private def warcinfo(filename: String, now: Instant): WarcRecord = {
     val body = ("software: graft/0.1\r\nformat: WARC File Format 1.1\r\n").getBytes(UTF_8)
     WarcCodec.withDefaults(WarcRecord("WARC/1.1", Map(
@@ -74,10 +101,12 @@ object WarcIO {
     val refersToId =
       if (localHit) Map("WARC-Refers-To" -> WarcCodec.recordIdFor(refersToUrl, refersToDate))
       else Map.empty[String, String]
+    val date = WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime))
     WarcCodec.withDefaults(WarcRecord("WARC/1.1", refersToId ++ Map(
       "WARC-Type" -> "revisit",
       "WARC-Target-URI" -> url,
-      "WARC-Date" -> WarcCodec.formatRfc3339Nano(Instant.ofEpochMilli(ts.getTime)),
+      "WARC-Date" -> date,
+      "WARC-Record-ID" -> WarcCodec.recordIdFor("revisit|" + url, date),
       "WARC-Refers-To-Target-URI" -> refersToUrl,
       "WARC-Refers-To-Date" -> refersToDate,
       // the WARC 1.1 profile URI, /root/reference/dialer.go:525
@@ -94,7 +123,8 @@ object WarcIO {
   def writeFetched(fetched: DataFrame, dir: String, prefix: String = "GRAFT",
                    recordsPerFile: Int = 1000,
                    compression: Codecs.Compression = Codecs.GzipCompression,
-                   maxFileBytes: Long = DefaultMaxFileBytes): Long = {
+                   maxFileBytes: Long = DefaultMaxFileBytes,
+                   writeRequests: Boolean = true): Long = {
     val sourceCol =
       if (fetched.columns.contains("dedupe_source")) col("dedupe_source")
       else when(col("is_revisit"), lit("local"))
@@ -103,11 +133,16 @@ object WarcIO {
       col("payload_digest"), col("refers_to_url"), col("refers_to_ts"),
       sourceCol.as("__source"))
     writeRecordFiles(projected, dir, prefix, recordsPerFile, compression, maxFileBytes) { row =>
-      if (row.getBoolean(3))
-        revisitRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2),
-          row.getString(4), row.getString(5), row.getTimestamp(6),
-          localHit = row.getString(7) == "local")
-      else pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
+      val main =
+        if (row.getBoolean(3))
+          revisitRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2),
+            row.getString(4), row.getString(5), row.getTimestamp(6),
+            localHit = row.getString(7) == "local")
+        else pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
+      if (!writeRequests) Seq(main)
+      else Seq(main, // response-before-request, /root/reference/dialer.go:352-354
+        requestRecord(row.getString(0), row.getTimestamp(1),
+          main.headers("WARC-Record-ID")))
     }
   }
 
@@ -120,7 +155,7 @@ object WarcIO {
                  maxFileBytes: Long = DefaultMaxFileBytes): Long =
     writeRecordFiles(pages.select(col("url"), col("warc_ts"), col("html")),
       dir, prefix, recordsPerFile, compression, maxFileBytes) { row =>
-      pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2))
+      Seq(pageToRecord(row.getString(0), row.getTimestamp(1), row.getAs[Array[Byte]](2)))
     }
 
   /** The reference rotates at WarcSize MB (default 1000 MB,
@@ -136,7 +171,7 @@ object WarcIO {
                                recordsPerFile: Int,
                                compression: Codecs.Compression,
                                maxFileBytes: Long)(
-      rowToRecord: org.apache.spark.sql.Row => WarcRecord): Long = {
+      rowToRecords: org.apache.spark.sql.Row => Seq[WarcRecord]): Long = {
     val spark = df.sparkSession
     new java.io.File(dir).mkdirs()
     val written = spark.sparkContext.longAccumulator("warc_files")
@@ -167,15 +202,19 @@ object WarcIO {
         }
         try {
           it.foreach { row =>
-            val rec = rowToRecord(row)
+            val recs = rowToRecords(row)
             if (out == null) {
-              val ts = rec.headers.get("WARC-Date")
+              val ts = recs.head.headers.get("WARC-Date")
                 .map(d => Instant.parse(d))
                 .getOrElse(Instant.ofEpochSecond(graft.sources.PagesGen.BaseEpochSec))
               openFile(ts)
             }
-            member.writeMember(WarcCodec.serialize(rec))
-            count += 1
+            // a row's records (a fetch pair) always land in ONE file
+            // (/root/reference/warc.go:90: batches are never split)
+            recs.foreach { rec =>
+              member.writeMember(WarcCodec.serialize(rec))
+              count += 1
+            }
             if (count >= recordsPerFile ||
                 (maxFileBytes > 0 && out.bytesWritten >= maxFileBytes)) closeFile()
           }

@@ -67,6 +67,21 @@ class WarcIOSpec extends AnyFunSuite {
     val responses = back.filter(col("warc_type") === "response").count()
     assert(responses == out.counters("fetched") - out.counters("revisits"))
 
+    // fetch PAIRS (J1): every capture has a request record whose
+    // WARC-Concurrent-To names its response/revisit record, written
+    // response-first into the same file (dialer.go:352-354,380-388)
+    val requests = back.filter(col("warc_type") === "request")
+    assert(requests.count() == out.counters("fetched"), "one request per fetch")
+    val mainIds = back.filter(col("warc_type").isin("response", "revisit"))
+      .select("headers").as[Map[String, String]].collect()
+      .map(_("WARC-Record-ID")).toSet
+    requests.select("headers", "content").as[(Map[String, String], Array[Byte])]
+      .collect().foreach { case (h, bytes) =>
+        assert(mainIds.contains(h("WARC-Concurrent-To")), "dangling WARC-Concurrent-To")
+        val line = new String(bytes, "ISO-8859-1").split("\r\n")(0)
+        assert(graft.codec.HttpCodec.isHttpRequestLine(line), s"bad request line: $line")
+      }
+
     // every revisit's WARC-Refers-To must name an actual response record in
     // the archive (/root/reference/dialer.go:521-523), and that record's
     // payload digest must equal the revisit's (identical-payload-digest)
