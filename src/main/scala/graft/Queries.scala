@@ -90,6 +90,113 @@ object Queries {
       operators.Frontier.Config())
   }
 
+  /** Deterministic closed-form web for the oracle-checked crawl (f07):
+    * 89 urls over 7 hosts; each url's body (an identity-transfer HTTP/1.1
+    * response) and outlinks derive only from `g = url_id % 13`, so urls
+    * sharing `g` have byte-identical payloads (digest-dedup revisits) and
+    * DuckDB can regenerate links arithmetically instead of regexping HTML.
+    * Bodies exceed the 2048-byte dedup threshold by construction. */
+  private def webLite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .selectExpr(
+        "doc_id % 89 AS u",
+        "(doc_id % 89) % 7 AS h",
+        "(doc_id % 89) % 13 AS g",
+        "TIMESTAMP '2022-03-20 03:55:45' + make_interval(0, 0, 0, 0, 0, 0, (doc_id * 7) % 100000) AS warc_ts")
+      .withColumn("body", concat(
+        lit("<a href=\""), lit("https://host"),
+        expr("CAST(((g*2+1) % 89) % 7 AS STRING)"), lit(".example/doc/"),
+        expr("CAST((g*2+1) % 89 AS STRING)"), lit("\">a</a> "),
+        lit("<a href=\""), lit("https://host"),
+        expr("CAST(((g*5+3) % 89) % 7 AS STRING)"), lit(".example/doc/"),
+        expr("CAST((g*5+3) % 89 AS STRING)"), lit("\">b</a> "),
+        expr("repeat(concat('pad-', CAST(g AS STRING), ' '), 400)")))
+      .select(
+        concat(lit("https://host"), col("h").cast("string"),
+          lit(".example/doc/"), col("u").cast("string")).as("url"),
+        col("warc_ts"),
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+          length(encode(col("body"), "UTF-8")).cast("string"),
+          lit("\r\n\r\n"), col("body")).cast("binary").as("html"),
+        col("body").as("text"),
+        lit("en").as("lang"))
+
+  /** One unrolled crawl round for the f07 DuckDB oracle. Mirrors
+    * Crawl.round exactly: in-batch first-wins (depth asc, ts desc), seen
+    * anti-join, robots gate, per-host politeness rank (budget 1+h%3),
+    * fetch join, digest-group revisit marking (ordered by discovery ts
+    * then url), link fan-out from non-revisits, and deferral of
+    * budget-losers. */
+  private def f07Round(k: Int, frontierCte: String, seenCte: Option[String]): String = {
+    val seenFilter = seenCte.map(sc => s"WHERE u NOT IN (SELECT u FROM $sc)").getOrElse("")
+    s"""r${k}_d AS (
+       |  SELECT u, depth, wts FROM (
+       |    SELECT u, depth, wts, row_number() OVER (PARTITION BY u ORDER BY depth, wts DESC) AS rn
+       |    FROM $frontierCte) WHERE rn = 1),
+       |r${k}_n AS (SELECT * FROM r${k}_d $seenFilter),
+       |r${k}_a AS (
+       |  SELECT u, depth, wts, u % 7 AS h,
+       |    'https://host' || CAST(u % 7 AS VARCHAR) || '.example/doc/' || CAST(u AS VARCHAR) AS url_norm
+       |  FROM r${k}_n
+       |  WHERE NOT (u % 7 % 2 = 0 AND CAST(u AS VARCHAR) LIKE '1%')),
+       |r${k}_s AS (
+       |  SELECT u, depth, wts, h, url_norm, batch_rank FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY h ORDER BY depth, wts DESC, url_norm) AS INT) AS batch_rank,
+       |      1 + h % 3 AS budget
+       |    FROM r${k}_a)
+       |  WHERE batch_rank <= budget),
+       |r${k}_def AS (SELECT u, depth, wts FROM r${k}_a WHERE u NOT IN (SELECT u FROM r${k}_s)),
+       |r${k}_f AS (
+       |  SELECT s.u, s.depth, s.wts, s.h, s.url_norm, s.batch_rank, w.g, w.page_ts
+       |  FROM r${k}_s s JOIN web w USING (u)),
+       |r${k}_o AS (
+       |  SELECT u, h, depth, wts, url_norm, batch_rank, g, page_ts,
+       |    row_number() OVER wd > 1 AS is_revisit,
+       |    first_value(url_norm) OVER wd AS first_url
+       |  FROM r${k}_f
+       |  WINDOW wd AS (PARTITION BY g ORDER BY wts, url_norm)),
+       |r${k}_l AS (
+       |  SELECT unnest([(g*2+1) % 89, (g*5+3) % 89]) AS u, depth + 1 AS depth, page_ts AS wts
+       |  FROM r${k}_o WHERE NOT is_revisit)""".stripMargin
+  }
+
+  private val f07Sql: String = {
+    val webCte =
+      """web AS (
+        |  SELECT u, h, g, min(ts) AS page_ts FROM (
+        |    SELECT doc_id % 89 AS u, (doc_id % 89) % 7 AS h, (doc_id % 89) % 13 AS g,
+        |      TIMESTAMP '2022-03-20 03:55:45' + INTERVAL ((doc_id*7) % 100000) SECOND AS ts
+        |    FROM documents) GROUP BY u, h, g)""".stripMargin
+    val seedsCte =
+      """seeds AS (
+        |  SELECT CAST(s.u AS BIGINT) AS u, 0 AS depth, TIMESTAMP '2022-03-20 03:55:45' AS wts
+        |  FROM (VALUES (0),(2),(3),(5),(8),(11),(17),(21),(26),(30),(39),(44)) AS s(u))""".stripMargin
+    val r1 = f07Round(1, "seeds", None)
+    val f2 = """f2 AS (SELECT * FROM r1_l UNION ALL SELECT * FROM r1_def),
+               |seen1 AS (SELECT u FROM r1_s)""".stripMargin
+    val r2 = f07Round(2, "f2", Some("seen1"))
+    val f3 = """f3 AS (SELECT * FROM r2_l UNION ALL SELECT * FROM r2_def),
+               |seen2 AS (SELECT u FROM seen1 UNION SELECT u FROM r2_s)""".stripMargin
+    val r3 = f07Round(3, "f3", Some("seen2"))
+    s"""WITH $webCte,
+       |$seedsCte,
+       |$r1,
+       |$f2,
+       |$r2,
+       |$f3,
+       |$r3
+       |SELECT * FROM (
+       |  SELECT 1 AS round, url_norm, CAST(depth AS INT) AS depth, batch_rank, is_revisit,
+       |    CASE WHEN is_revisit THEN first_url END AS refers_to_url, true AS text_ok FROM r1_o
+       |  UNION ALL
+       |  SELECT 2, url_norm, CAST(depth AS INT), batch_rank, is_revisit,
+       |    CASE WHEN is_revisit THEN first_url END, true FROM r2_o
+       |  UNION ALL
+       |  SELECT 3, url_norm, CAST(depth AS INT), batch_rank, is_revisit,
+       |    CASE WHEN is_revisit THEN first_url END, true FROM r3_o)
+       |ORDER BY round, url_norm""".stripMargin
+  }
+
   private val fwSql: String =
     s"""p AS ($pSql),
        |fw AS (
@@ -236,20 +343,43 @@ object Queries {
         .orderBy("host")),
 
     "f07_crawl_round" -> ((s, dir) => {
-      // integrated pipeline over the synthetic web (rows-only oracle; the
-      // exact-conformance oracle is the sequential simulation in ScalaTest)
-      val web = Crawl.asWeb(PagesGen.pages(s, 3000, 20, 42L).toDF())
-      val frontier = {
-        import s.implicits._
-        PagesGen.seeds(3000, 60, 20, 42L).toDF("url")
-          .withColumn("depth", lit(0))
-          .withColumn("warc_ts", lit(new java.sql.Timestamp(PagesGen.BaseEpochSec * 1000L)))
+      // The integrated multi-round crawl, oracle-checked end to end: a
+      // deterministic closed-form web (urls, bodies, links, and robots all
+      // derive from doc_id arithmetic) lets DuckDB replay all 3 rounds —
+      // canonicalize → in-batch first-wins → seen filter → robots →
+      // politeness schedule → fetch → digest dedup (revisits) → link
+      // discovery → budget-loser deferral — in unrolled CTEs. The
+      // PagesGen-web conformance (all 4 HTTP transfer modes, sequential
+      // reference simulation) stays in CrawlSpec.
+      import s.implicits._
+      val web = Crawl.asWeb(Queries.webLite(s, dir))
+      val politeness = (0 until 7).map(h => (s"host$h.example", 1 + h % 3))
+        .toDF("host", "budget")
+      val robots = (0 until 7).filter(_ % 2 == 0)
+        .map(h => (s"host$h.example", "User-agent: *\nDisallow: /doc/1"))
+        .toDF("host", "body")
+      val seedUs = Seq(0, 2, 3, 5, 8, 11, 17, 21, 26, 30, 39, 44)
+      val seeds = seedUs.map(u => s"HTTPS://host${u % 7}.example:443/doc/$u")
+        .toDF("url")
+        .withColumn("depth", lit(0))
+        .withColumn("warc_ts", expr("TIMESTAMP '2022-03-20 03:55:45'"))
+      val cfg = Frontier.Config(defaultBudget = 2, saltBuckets = 8)
+      var frontier = seeds
+      var seen: Option[DataFrame] = None
+      var out: Option[DataFrame] = None
+      for (r <- 1 to 3) {
+        val o = Crawl.round(frontier, seen, web, Some(robots), Some(politeness),
+          cfg, withCounters = false)
+        val tagged = o.fetched.select(lit(r).as("round"), col("url_norm"),
+          col("depth"), col("batch_rank"), col("is_revisit"),
+          col("refers_to_url"), col("text_ok")).localCheckpoint(true)
+        out = Some(out.map(_.unionByName(tagged)).getOrElse(tagged))
+        seen = Some(seen.map(_.unionByName(o.newSeen)).getOrElse(o.newSeen)
+          .localCheckpoint(true))
+        frontier = o.nextFrontier.localCheckpoint(true)
+        o.release()
       }
-      val out = Crawl.round(frontier, None, web, None, None,
-        Frontier.Config(defaultBudget = 4, saltBuckets = 8), withCounters = false)
-      out.fetched
-        .select("url_norm", "depth", "batch_rank", "is_revisit", "text_ok")
-        .orderBy("url_norm")
+      out.get.orderBy("round", "url_norm")
     }),
 
     "f09_cdx_dedup" -> ((s, dir) => {
@@ -269,6 +399,25 @@ object Queries {
         .agg(count(lit(1)).as("n_revisits"),
           sum(col("payload_len")).as("saved_bytes"))
         .orderBy("dedupe_source")),
+
+    "f11_sitemap_seeds" -> ((s, dir) => {
+      // Sitemap: lines from robots.txt become depth-0 seeds (sitemaps.org
+      // extension, group-independent, case-insensitive key, comments
+      // stripped, relative URLs ignored), canonicalized like any frontier
+      // candidate (uppercase scheme + default port exercised)
+      import s.implicits._
+      val robots = (0 until 7).map { h =>
+        val body =
+          if (h % 2 == 0)
+            s"User-agent: *\nDisallow: /tmp\nSitemap: HTTPS://host$h.example:443/sitemap-a.xml  # primary\nsitemap: https://host$h.example/sitemap-b.xml\nSitemap: /relative-ignored.xml"
+          else "User-agent: *\nDisallow:"
+        (s"host$h.example", body)
+      }.toDF("host", "body")
+      Frontier.canonicalize(Frontier.sitemapSeeds(robots,
+          java.sql.Timestamp.valueOf("2022-03-20 03:55:45")))
+        .select("url_norm", "host", "depth")
+        .orderBy("url_norm")
+    }),
 
     "f08_seen_partitioned" -> ((s, dir) => {
       // partitioned URL-seen filter (SeenStore): per-partition sketches
@@ -296,20 +445,33 @@ object Queries {
         .orderBy("id_a", "id_b")),
 
     "d03_simhash_pairs" -> ((s, dir) =>
+      // simhash blocking runs over ALL docs; the harness projects to the
+      // planted-duplicate pairs, whose expected set is closed-form in SQL
+      // (every within-cluster pair, hamming 0 — identical texts — and no
+      // cross-cluster pair survives ≤3 of 64 bits). The full output incl.
+      // natural near-dups is brute-force-verified in TextSimilaritySpec.
       Dedup.simhashPairs(
         t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
         textCol = "text2", k = 3, maxHamming = 3)
+        .filter(col("id_a") % 11 < 3 && col("id_b") % 11 < 3)
         .orderBy("id_a", "id_b")),
 
     "d04_embedding_neardup" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       // plant near-dups: NOISE-perturbed copies (direction changes) of the
-      // first 10 vectors — the case single-signature LSH mostly misses
+      // first 10 vectors — the case single-signature LSH mostly misses.
+      // δ_i = ((vec_id*1009 + i*31) % 1024 - 512) / 2^14 ∈ ±0.03125 is
+      // exact in binary32/binary64, so the DuckDB oracle regenerates the
+      // planted vectors bit-identically and brute-forces all pairs.
       val planted = embs.filter(col("vec_id") < 10)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        // stage the source id under a distinct name: Spark's lateral column
+        // alias resolution would otherwise bind vec_id inside the transform
+        // to the (vec_id + 100000) alias on its left
+        .select(col("vec_id").as("vid0"), col("embedding"))
+        .select((col("vid0") + 100000).as("vec_id"),
           transform(col("embedding"), (x, i) =>
-            (x + (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("float") / lit(10000.0f)
-              - lit(0.05f))).cast("float")).as("embedding"))
+            (x + (pmod(col("vid0") * 1009 + i * 31, lit(1024)) - 512).cast("double")
+              / lit(16384.0)).cast("float")).as("embedding"))
       Dedup.embeddingPairs(embs.select("vec_id", "embedding").unionByName(planted),
         threshold = 0.95)
         .orderBy("id_a", "id_b")
@@ -339,9 +501,19 @@ object Queries {
         .orderBy("doc_id")),
 
     "t04_fingerprint" -> ((s, dir) =>
+      // fingerprint robustness conformance: for every doc, how many of the
+      // k=4 min-hash sketch values survive a small tail edit. The
+      // distribution is a deterministic function of the kernel (any change
+      // to the w-gram hashing or min-k selection shifts it), pinned by a
+      // VALUES oracle; raw determinism/collision properties are covered in
+      // TextAnalysisSpec.
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .select(size(array_intersect(
+          split(TextAnalysis.fingerprint(col("text")), ","),
+          split(TextAnalysis.fingerprint(concat(col("text"), lit(" zq9tail"))), ",")))
+          .as("n_shared"))
+        .groupBy("n_shared").agg(count(lit(1)).as("n_docs"))
+        .orderBy("n_shared")),
 
     // --- similarity search ------------------------------------------------
     "s01_ann_brute" -> ((s, dir) => {
@@ -351,10 +523,25 @@ object Queries {
     }),
 
     "s02_ann_ivf" -> ((s, dir) => {
+      // IVF over a deterministically CLUSTERED corpus (its design case —
+      // on uniform random vectors cell-pruning has no structure to
+      // exploit): 16 tight clusters around the first 16 base embeddings,
+      // noise δ_i = ((vec_id*787 + i*37) % 512 - 256)/2^14 exact in
+      // binary32/64 so DuckDB rebuilds the corpus bit-identically. The
+      // oracle is the exhaustive brute-force SQL: probing 4 of 16 cells
+      // must recover the exact top-10.
       val embs = t(s, dir, "embeddings")
-      val cents = Similarity.initCentroids(embs, nCells = 16, "vec_id", "embedding")
-      val indexed = Similarity.ivfAssign(embs, cents)
-      Similarity.ivfTopK(embs.filter(col("vec_id") < 5), indexed, cents, k = 10, nProbe = 8)
+      val bases = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c"), col("embedding").as("base"))
+      val corpus = embs.select(col("vec_id"), (col("vec_id") % 16).as("c"))
+        .join(broadcast(bases), "c")
+        .select(col("vec_id"),
+          transform(col("base"), (x, i) =>
+            (x + (pmod(col("vec_id") * 787 + i * 37, lit(512)) - 256).cast("double")
+              / lit(16384.0)).cast("float")).as("embedding"))
+      val cents = Similarity.initCentroids(corpus, nCells = 16, "vec_id", "embedding")
+      val indexed = Similarity.ivfAssign(corpus, cents)
+      Similarity.ivfTopK(corpus.filter(col("vec_id") < 5), indexed, cents, k = 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -547,6 +734,12 @@ object Queries {
          |FROM r WHERE dedupe_source IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "f11_sitemap_seeds" ->
+      """SELECT 'https://host' || CAST(h AS VARCHAR) || '.example/sitemap-' || s || '.xml' AS url_norm,
+        |  'host' || CAST(h AS VARCHAR) || '.example' AS host, CAST(0 AS INT) AS depth
+        |FROM (SELECT unnest([0, 2, 4, 6]) AS h) a, (SELECT unnest(['a', 'b']) AS s) b
+        |ORDER BY url_norm""".stripMargin,
+
     "f08_seen_partitioned" ->
       s"""WITH $fwSql
          |SELECT url_norm, doc_id FROM fw WHERE doc_id % 3 <> 0 ORDER BY url_norm""".stripMargin,
@@ -619,6 +812,17 @@ object Queries {
       """SELECT CAST(2000 AS BIGINT) AS n_pages, CAST(2000 AS BIGINT) AS n_match,
         | CAST(0 AS BIGINT) AS n_mismatch""".stripMargin,
 
+    // fingerprint robustness distribution (how many of the 4 min-hash
+    // sketch values survive a tail edit), pinned: any change to the w-gram
+    // hashing, the min-k selection, or the sketch size shifts these counts
+    "t04_fingerprint" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS INT), CAST(27 AS BIGINT)),
+        | (CAST(2 AS INT), CAST(66 AS BIGINT)),
+        | (CAST(3 AS INT), CAST(167 AS BIGINT)),
+        | (CAST(4 AS INT), CAST(240 AS BIGINT)))
+        |AS t(n_shared, n_docs) ORDER BY n_shared""".stripMargin,
+
     "d02_minhash_pairs" ->
       s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
          |tok AS (
@@ -657,6 +861,53 @@ object Queries {
          |           / CAST(len(toks) AS DOUBLE) END AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "f07_crawl_round" -> f07Sql,
+
+    "d03_simhash_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 11 < 3 AND b.doc_id % 11 < 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d04_embedding_neardup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] + CAST((vec_id*1009 + (i-1)*31) % 1024 - 512 AS FLOAT) / 16384.0 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id < 10),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM u)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
+    "s02_ann_ivf" ->
+      // exhaustive brute-force over the clustered corpus: the IVF path
+      // (4 of 16 cells probed) must recover this exactly
+      """WITH c AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, len(b.embedding) + 1),
+        |      i -> CAST(b.embedding[i] + CAST((e.vec_id*787 + (i-1)*37) % 512 - 256 AS DOUBLE) / 16384.0 AS FLOAT)) AS embedding
+        |  FROM embeddings e JOIN embeddings b ON b.vec_id = e.vec_id % 16),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM c WHERE vec_id < 5),
+        |s AS (
+        | SELECT query_id, vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM c, q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

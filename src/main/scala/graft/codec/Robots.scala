@@ -61,6 +61,28 @@ object Robots {
     matchFrom(0, 0)
   }
 
+  /** All absolute `Sitemap:` URLs in the body — the sitemaps.org extension
+    * is group-independent (RFC 9309 §2.3 treats unknown lines as opaque;
+    * sitemap lines apply to every agent wherever they appear). Relative
+    * values are ignored (the protocol requires absolute URLs). */
+  def sitemaps(body: String): Vector[String] = {
+    if (body == null) return Vector.empty
+    body.split("\n", -1).iterator.flatMap { raw =>
+      val line = {
+        val noComment = raw.indexOf('#') match {
+          case -1 => raw
+          case i => raw.substring(0, i)
+        }
+        noComment.trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val value = line.substring(colon + 1).trim
+        if (value.contains("://")) Some(value) else None
+      } else None
+    }.toVector
+  }
+
   /** Parse robots.txt for a given agent. Group selection: the longest
     * user-agent token that is a case-insensitive prefix of `agent`, else
     * the `*` group. */

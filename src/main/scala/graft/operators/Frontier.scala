@@ -178,6 +178,20 @@ object Frontier {
     robots.select(col("host"), budgetOf(col("body")).as("budget"))
   }
 
+  /** Sitemap-derived seeds: every `Sitemap:` URL a host's robots.txt
+    * declares becomes a depth-0 frontier row (url, depth, warc_ts), ready
+    * to union into the seed frontier. The robots dim is broadcast-sized
+    * (one row per host), so this is a narrow flatMap over a tiny table —
+    * a UDF is fine here (the robots grammar is not expressible in
+    * built-ins, and this runs once per host, not per url). */
+  def sitemapSeeds(robots: DataFrame, ts: java.sql.Timestamp): DataFrame = {
+    val ex = udf { (body: String) => Robots.sitemaps(body) }
+    robots
+      .select(explode(ex(col("body"))).as("url"))
+      .withColumn("depth", lit(0))
+      .withColumn("warc_ts", lit(ts))
+  }
+
   /** Stage 5 — politeness scheduling: per-host top-`budget` by priority
     * (depth asc, warc_ts desc, url asc — the north_star priority queue),
     * realized as a skew-safe two-phase ranking:

@@ -268,4 +268,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parse("").allows("/a"))
     assert(Robots.AllowAll.allows("/a"))
   }
+  test("sitemap lines: group-independent, case-insensitive, comments stripped, relative ignored") {
+    val body =
+      """User-agent: a
+        |Disallow: /x
+        |Sitemap: https://h.example/sm1.xml  # primary
+        |
+        |User-agent: b
+        |SITEMAP: https://h.example/sm2.xml
+        |Sitemap: /relative.xml
+        |sitemap:https://h.example/sm3.xml
+        |""".stripMargin
+    assert(Robots.sitemaps(body) ==
+      Vector("https://h.example/sm1.xml", "https://h.example/sm2.xml",
+        "https://h.example/sm3.xml"))
+    assert(Robots.sitemaps("") == Vector.empty)
+    assert(Robots.sitemaps(null) == Vector.empty)
+  }
 }
