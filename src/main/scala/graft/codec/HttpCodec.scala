@@ -161,6 +161,128 @@ object HttpCodec {
   /** Decoded body as UTF-8 text. */
   def extractText(block: Array[Byte]): String = new String(decodedBody(block), UTF_8)
 
+  // --- streaming variants (the spooled >2 GB tool path) -------------------
+
+  /** Streaming decode of one HTTP message: header parse (bounded), then the
+    * body wrapped with Content-Length bound / chunked decode / gunzip as
+    * declared — the same pipeline as `decodedBody` without materializing.
+    * Returns (message-with-empty-body, decoded-body-stream). */
+  def decodedBodyStream(in: java.io.InputStream): (HttpMessage, java.io.InputStream) = {
+    // header scan: byte-at-a-time until CRLFCRLF, never reads past it
+    val head = new ByteArrayOutputStream(512)
+    var state = 0
+    var done = false
+    while (!done) {
+      val c = in.read()
+      if (c == -1) throw new HttpFormatException("no end-of-headers CRLFCRLF found")
+      head.write(c)
+      state = (state, c.toChar) match {
+        case (0, '\r') => 1
+        case (1, '\n') => 2
+        case (2, '\r') => 3
+        case (3, '\n') => 4
+        case (_, '\r') => 1
+        case _ => 0
+      }
+      if (state == 4) done = true
+    }
+    val headBytes = head.toByteArray
+    val lines = new String(headBytes, 0, headBytes.length - 4, ISO_8859_1).split("\r\n", -1)
+    val startLine = lines(0)
+    val headers = lines.drop(1).toSeq.flatMap { line =>
+      val idx = line.indexOf(':')
+      if (idx > 0) Some(line.substring(0, idx) -> line.substring(idx + 1).trim) else None
+    }
+    val msg = HttpMessage(startLine, headers, Array.emptyByteArray)
+    val raw: java.io.InputStream =
+      if (msg.isChunked) new ChunkedInputStream(in)
+      else msg.header("Content-Length").map(_.trim.toLong) match {
+        case Some(cl) if cl >= 0 => new BoundedInputStream(in, cl)
+        case _ => in
+      }
+    // gzip wrap is LAZY: GZIPInputStream's constructor reads the gzip
+    // header, which must not happen for callers that only want `msg`
+    val decoded: java.io.InputStream =
+      if (!msg.isGzipped) raw
+      else new java.io.InputStream {
+        private var inner: java.io.InputStream = _
+        private def ensure(): java.io.InputStream = {
+          if (inner == null) inner = new GZIPInputStream(raw, 1 << 16)
+          inner
+        }
+        override def read(): Int = ensure().read()
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          ensure().read(b, off, len)
+        override def close(): Unit = if (inner != null) inner.close() else raw.close()
+      }
+    (msg, decoded)
+  }
+
+  /** Reads at most `limit` bytes from `in` (Content-Length framing). */
+  private final class BoundedInputStream(in: java.io.InputStream, limit: Long)
+      extends java.io.InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val c = in.read(); if (c != -1) remaining -= 1; c }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val r = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (r > 0) remaining -= r
+      r
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Streaming `Transfer-Encoding: chunked` decoder — same grammar as
+    * `decodeChunked` (size line ± extensions, data, CRLF, trailers after
+    * the 0-chunk) over an InputStream. */
+  private final class ChunkedInputStream(in: java.io.InputStream)
+      extends java.io.InputStream {
+    private var remaining = 0L // bytes left in the current chunk
+    private var finished = false
+
+    private def readLine(): String = {
+      val sb = new StringBuilder(16)
+      var c = in.read()
+      while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) == '\r') sb.setLength(sb.length - 1)
+      sb.toString
+    }
+
+    private def advance(): Unit = {
+      // consume CRLF after previous chunk data, then the next size line
+      var sizeLine = readLine()
+      while (sizeLine.trim.isEmpty) sizeLine = readLine() // tolerate blanks
+      val semi = sizeLine.indexOf(';')
+      val hexStr = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      val size = java.lang.Long.parseLong(hexStr, 16)
+      if (size == 0) {
+        var t = readLine() // trailers until blank line
+        while (t.nonEmpty) t = readLine()
+        finished = true
+      } else remaining = size
+    }
+
+    override def read(): Int = {
+      if (finished) return -1
+      if (remaining == 0) { advance(); if (finished) return -1 }
+      val c = in.read()
+      if (c == -1) throw new HttpFormatException("EOF inside chunk")
+      remaining -= 1
+      c
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (finished) return -1
+      if (remaining == 0) { advance(); if (finished) return -1 }
+      val r = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (r == -1) throw new HttpFormatException("EOF inside chunk")
+      remaining -= r
+      r
+    }
+    override def close(): Unit = in.close()
+  }
+
   /** Serialize a simple HTTP/1.1 response (used by the deterministic pages
     * generator; header order is the given order). */
   def buildResponse(

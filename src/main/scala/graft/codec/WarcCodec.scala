@@ -23,6 +23,22 @@ final case class WarcRecord(
   def computedBlockDigest: String = "sha1:" + Digests.sha1Base32(content)
 }
 
+/** A record whose payload lives in a spool (memory ≤ threshold, temp file
+  * beyond) instead of an array — the >2 GB / low-heap scan shape. The
+  * block digest is computed during the scan, not from a buffer. */
+final case class SpooledWarcRecord(
+    version: String,
+    headers: Map[String, String],
+    payload: SpooledPayload,
+    blockSha1: Array[Byte]
+) {
+  def warcType: String = headers.getOrElse("WARC-Type", "")
+  def targetUri: String = headers.getOrElse("WARC-Target-URI", "")
+  def contentLength: Long = payload.size
+  def blockDigest: String = headers.getOrElse("WARC-Block-Digest", "")
+  def computedBlockDigest: String = "sha1:" + Digests.base32(blockSha1)
+}
+
 /** Parse / serialize semantics of the reference's record scan + writer:
   *  - parse: version line (CRLF), `key: value` header lines until a blank
   *    line, exactly `Content-Length` payload bytes, then two empty-line
@@ -65,12 +81,13 @@ object WarcCodec {
     out
   }
 
-  /** Read one record; None at a clean end-of-stream boundary. */
-  def readRecord(in: InputStream): Option[WarcRecord] = {
+  /** Version line + header block + declared Content-Length; null at a
+    * clean end-of-stream boundary. */
+  private def readHead(in: InputStream): (String, Map[String, String], Long) = {
     var version = readLine(in)
     // tolerate extra blank lines between records (some writers emit them)
     while (version != null && version.isEmpty) version = readLine(in)
-    if (version == null) return None
+    if (version == null) return null
     if (!version.startsWith("WARC/"))
       throw new WarcFormatException(s"bad version line: '$version'")
     var headers = ListMap.empty[String, String]
@@ -87,8 +104,11 @@ object WarcCodec {
     if (line == null) throw new EOFException("EOF inside header block")
     val cl = headers.get("Content-Length").map(_.trim.toLong).getOrElse(
       throw new WarcFormatException("missing Content-Length"))
-    val content = readFully(in, cl)
-    // two empty-line boundaries required (/root/reference/read.go:120-133)
+    (version, headers, cl)
+  }
+
+  /** Two empty-line boundaries required (/root/reference/read.go:120-133). */
+  private def readBoundary(in: InputStream): Unit = {
     var i = 0
     while (i < 2) {
       val b = readLine(in)
@@ -96,7 +116,46 @@ object WarcCodec {
       if (b.nonEmpty) throw new WarcFormatException(s"non-empty record boundary: '$b'")
       i += 1
     }
+  }
+
+  /** Read one record; None at a clean end-of-stream boundary. */
+  def readRecord(in: InputStream): Option[WarcRecord] = {
+    val head = readHead(in)
+    if (head == null) return None
+    val (version, headers, cl) = head
+    val content = readFully(in, cl)
+    readBoundary(in)
     Some(WarcRecord(version, headers, content))
+  }
+
+  /** Spooled record scan for the tool path: the payload streams into a
+    * SpooledPayload (in-memory ≤ threshold, temp file beyond — the
+    * reference's spooledtempfile shape, /root/reference/spooled.go:18-22)
+    * while the SHA-1 block digest accumulates on the fly, so records
+    * larger than the heap — or than the 2 GB array cap that bounds
+    * `readRecord` — verify and extract in bounded memory. Caller must
+    * `payload.close()` each record. */
+  def readRecordSpooled(
+      in: InputStream,
+      threshold: Int = Spool.DefaultThreshold,
+      spoolDir: Option[java.nio.file.Path] = None): Option[SpooledWarcRecord] = {
+    val head = readHead(in)
+    if (head == null) return None
+    val (version, headers, cl) = head
+    val payload = new SpooledPayload(threshold, spoolDir)
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val buf = new Array[Byte](64 << 10)
+    var remaining = cl
+    while (remaining > 0) {
+      val r = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+      if (r == -1) throw new EOFException(
+        s"early EOF: got ${cl - remaining} of $cl payload bytes")
+      sha1.update(buf, 0, r)
+      payload.write(buf, 0, r)
+      remaining -= r
+    }
+    readBoundary(in)
+    Some(SpooledWarcRecord(version, headers, payload, sha1.digest()))
   }
 
   /** Parse a whole stream into records. Buffers the input once — the

@@ -51,6 +51,51 @@ object FrontierStream {
         })
   }
 
+  /** Streaming frontier over the PERSISTENT partitioned seen-state: each
+    * micro-batch of candidate urls is canonicalized, deduped in-batch,
+    * filtered against the SeenStore (the same per-partition sketch + exact
+    * sidecar state the batch crawler uses — NOT engine-private streaming
+    * state), politeness-scheduled, written as a fetch batch, and appended
+    * to the store.
+    *
+    * Why a store and not flatMapGroupsWithState for the seen set: the
+    * accumulated 10^10-url membership belongs to the TABLE, shared by
+    * batch rounds, streaming ingest, and resume — keyed streaming state
+    * would trap it inside one query's checkpoint. Exactly-once: the store
+    * increment id IS the micro-batch id (contiguous from 0), so a replayed
+    * batch after a crash is recognized (id < committed count) and skipped;
+    * the fetch-batch parquet write is idempotent per batch directory.
+    *
+    * Returns the writer; caller sets trigger/checkpoint and starts. */
+  def scheduledBatches(
+      urls: DataFrame,
+      storeDir: String,
+      outDir: String,
+      politeness: Option[DataFrame],
+      cfg: graft.operators.Frontier.Config): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    urls.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val store = graft.state.SeenStore(storeDir,
+        graft.state.SeenStore.Config(cfg.seenParts, cfg.seenFpp, cfg.seenSketch))
+      val done = store.committedIds.length
+      if (batchId < done) {
+        // replayed after a crash between sink write and checkpoint commit:
+        // the increment is already durable — skip (idempotent)
+      } else {
+        val canonical = graft.operators.Frontier.canonicalize(batch.toDF())
+          .select(col("url_norm"), col("host"), col("url_hash"), col("depth"), col("warc_ts"))
+        val deduped = graft.operators.Frontier.firstSeenWins(canonical, col("url_hash"),
+          Seq(col("depth").asc, col("warc_ts").desc, col("url_norm").asc))
+        val unseen = store.filterUnseen(deduped).result
+        val sched = graft.operators.Frontier.schedule(unseen, politeness, cfg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sched.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+          store.append(sched.select(col("url_hash")), batchId)
+        } finally sched.unpersist()
+      }
+    }
+  }
+
   /** Watermarked per-host tumbling-window counters (fetches + bytes). */
   def hostWindowCounts(pages: DataFrame, watermark: String = "1 hour",
                        windowLen: String = "1 hour"): DataFrame =

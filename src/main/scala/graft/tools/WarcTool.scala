@@ -64,14 +64,30 @@ object WarcTool {
     else s"$name[$tail]"
   }
 
+  /** Digest of a whole stream without materializing it. */
+  private def streamDigest(in: java.io.InputStream, algo: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance(algo)
+    val buf = new Array[Byte](64 << 10)
+    var r = in.read(buf)
+    while (r != -1) { md.update(buf, 0, r); r = in.read(buf) }
+    md.digest()
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "verify" :: files if files.nonEmpty =>
+      // Bounded-memory scan (the reference's spooledtempfile shape,
+      // /root/reference/pkg/spooledtempfile/spooled.go): payloads spool to
+      // disk past 1 MB, the block digest accumulates during the scan, and
+      // the payload digest streams through the HTTP decode — a record
+      // larger than the heap (or the 2 GB array cap) verifies fine.
       var total = 0
       var bad = 0
       files.foreach { f =>
         val in = open(f)
         try {
-          WarcCodec.readAll(in).foreach { r =>
+          var rec = WarcCodec.readRecordSpooled(in)
+          while (rec.isDefined) {
+            val r = rec.get
             total += 1
             val blockOk = r.blockDigest.isEmpty || r.blockDigest == r.computedBlockDigest
             // payload-digest check (/root/reference/cmd/verify.go:167-252):
@@ -84,15 +100,12 @@ object WarcTool {
               if (stored.isEmpty || r.warcType == "revisit" ||
                   !r.headers.getOrElse("Content-Type", "").contains("msgtype=response")) true
               else try {
-                val msg = HttpCodec.parse(r.content)
+                val (msg, body) = HttpCodec.decodedBodyStream(r.payload.inputStream())
                 if (msg.headers.exists(_._1.toLowerCase.startsWith("x-crawler-"))) false
-                else {
-                  val body = HttpCodec.decodedBody(r.content)
-                  stored.split(":", 2) match {
-                    case Array("sha1", d) => d == Digests.sha1Base32(body)
-                    case Array("sha256", d) => d == Digests.sha256Base32(body)
-                    case _ => false
-                  }
+                else stored.split(":", 2) match {
+                  case Array("sha1", d) => d == Digests.base32(streamDigest(body, "SHA-1"))
+                  case Array("sha256", d) => d == Digests.base32(streamDigest(body, "SHA-256"))
+                  case _ => false
                 }
               } catch { case _: Exception => false }
             if (!blockOk || !payloadOk) bad += 1
@@ -101,6 +114,8 @@ object WarcTool {
               else if (!blockOk) s"BLOCK-MISMATCH ${r.computedBlockDigest} != ${r.blockDigest}"
               else "PAYLOAD-MISMATCH"
             println(f"${r.warcType}%-10s cl=${r.contentLength}%-8d digest=$state uri=${r.targetUri}")
+            r.payload.close()
+            rec = WarcCodec.readRecordSpooled(in)
           }
         } finally in.close()
       }
@@ -124,34 +139,53 @@ object WarcTool {
       val in = open(file)
       var counts = Map.empty[String, Int].withDefaultValue(0)
       try {
-        WarcCodec.readAll(in)
-          .filter(r => r.headers.getOrElse("Content-Type", "").contains("msgtype=response"))
-          .filter(_.warcType != "revisit")
-          .foreach { r =>
-            val msg = HttpCodec.parse(r.content)
+        var rec = WarcCodec.readRecordSpooled(in)
+        while (rec.isDefined) {
+          val r = rec.get
+          if (r.headers.getOrElse("Content-Type", "").contains("msgtype=response") &&
+              r.warcType != "revisit") {
+            // first pass reads only the header block (for ct/name); the
+            // body stream is closed unread and re-opened per use below
+            val (msg, body0) = HttpCodec.decodedBodyStream(r.payload.inputStream())
+            body0.close()
             val httpCt = msg.header("Content-Type").getOrElse("")
             if (ctFilter.isEmpty || ctFilter.exists(httpCt.contains)) {
-            val body = HttpCodec.decodedBody(r.content)
-            val ct = if (httpCt.isEmpty) "unknown" else httpCt.split(";")(0).trim
-            counts = counts.updated(ct, counts(ct) + 1)
-            val name = extractName(r.targetUri, msg.header("Content-Disposition"))
-            val parent =
-              if (!hostSort) dir
-              else {
-                val host = graft.codec.UrlNormalizer.host(r.targetUri)
-                val d = new java.io.File(dir, if (host.isEmpty) "unknown" else host)
-                d.mkdirs(); d
+              val ct = if (httpCt.isEmpty) "unknown" else httpCt.split(";")(0).trim
+              counts = counts.updated(ct, counts(ct) + 1)
+              val name = extractName(r.targetUri, msg.header("Content-Disposition"))
+              val parent =
+                if (!hostSort) dir
+                else {
+                  val host = graft.codec.UrlNormalizer.host(r.targetUri)
+                  val d = new java.io.File(dir, if (host.isEmpty) "unknown" else host)
+                  d.mkdirs(); d
+                }
+              var out = new java.io.File(parent, name)
+              if (out.exists() && hashSuffix) {
+                // streaming compare: sha1 of the existing file vs a fresh
+                // decode pass over the spool — nothing materializes
+                val fin = new java.io.BufferedInputStream(new FileInputStream(out), 1 << 16)
+                val existingSha = try streamDigest(fin, "SHA-1") finally fin.close()
+                val newSha = streamDigest(
+                  HttpCodec.decodedBodyStream(r.payload.inputStream())._2, "SHA-1")
+                if (!java.util.Arrays.equals(existingSha, newSha))
+                  out = new java.io.File(parent, hashSuffixName(name, Digests.base32(newSha)))
               }
-            var out = new java.io.File(parent, name)
-            if (out.exists() && hashSuffix) {
-              val existing = java.nio.file.Files.readAllBytes(out.toPath)
-              if (!java.util.Arrays.equals(existing, body))
-                out = new java.io.File(parent, hashSuffixName(name, Digests.sha1Base32(body)))
-            }
-            java.nio.file.Files.write(out.toPath, body)
-            println(s"wrote ${out.getPath} (${body.length} B, $ct)")
+              val sink = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(out), 1 << 16)
+              var written = 0L
+              try {
+                val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
+                val buf = new Array[Byte](64 << 10)
+                var n = body.read(buf)
+                while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
+              } finally sink.close()
+              println(s"wrote ${out.getPath} ($written B, $ct)")
             }
           }
+          r.payload.close()
+          rec = WarcCodec.readRecordSpooled(in)
+        }
       } finally in.close()
       counts.toSeq.sortBy(_._1).foreach { case (ct, n) => println(s"$ct: $n") }
 

@@ -63,6 +63,45 @@ class FrontierStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frontier over the persistent SeenStore: cross-batch dedupe, exactly-once increments, restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sstream-store").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sstream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sstream-ckpt").toString
+    val cfg = graft.operators.Frontier.Config(defaultBudget = 100, saltBuckets = 4, seenParts = 8)
+    val ts = java.sql.Timestamp.valueOf("2022-03-20 03:55:45")
+    def urls(r: Range) = r.map(i => (s"https://host${i % 5}.example/p/$i", 0, ts))
+    def start() = FrontierStream.scheduledBatches(
+      input.toDF().toDF("url", "depth", "warc_ts"), storeDir, outDir, None, cfg)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try {
+      input.addData(urls(0 until 40))
+      q.processAllAvailable()
+      input.addData(urls(20 until 60)) // 20 urls repeat batch 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = graft.state.SeenStore(storeDir)
+    assert(store.committedIds == Seq(0L, 1L), "one store increment per micro-batch")
+    def batch(i: Int): Set[String] =
+      spark.read.parquet(s"$outDir/batch-$i").select("url_norm").as[String].collect().toSet
+    assert(batch(0).size == 40)
+    assert(batch(1).size == 20, "urls seen in batch 0 are filtered by the store")
+    assert(batch(0).intersect(batch(1)).isEmpty)
+    // restart from the same checkpoint: the seen state lives in the STORE,
+    // not the query — new overlapping data is still deduped
+    val q2 = start()
+    try {
+      input.addData(urls(50 until 70)) // 10 repeat batch 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(store.committedIds == Seq(0L, 1L, 2L))
+    assert(batch(2).size == 10)
+    assert(batch(2).intersect(batch(0) ++ batch(1)).isEmpty)
+  }
+
   test("TTL cache state: hit within TTL across restarts") {
     // ProcessingTimeTimeout makes the engine re-trigger batches to evaluate
     // pending timeouts, so processAllAvailable never quiesces — drive the
