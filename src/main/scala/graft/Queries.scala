@@ -561,6 +561,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "m02_media_transform" -> ((s, dir) => {
+      // real resize (ImageIO/Graphics2D, longest side → 12 px via integer
+      // math) + feature extraction, over solid-color PNGs: output dims have
+      // a closed form, and ANY resize kernel preserves a solid color
+      // exactly, so mean-RGB is DuckDB-checkable to the integer
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticSolidPng(
+          (10 + id % 30).toInt, (10 + (id * 7) % 20).toInt,
+          (((id * 37) % 256).toInt << 16) | (((id * 59) % 256).toInt << 8)
+            | ((id * 83) % 256).toInt)))
+        .toDF("doc_id", "media")
+      Multimodal.transform(s, media, maxDim = 12).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "t06_subword_count" -> ((s, dir) =>
+      // BPE-ish subword proxy: maximal alphanumeric runs + each non-space
+      // non-alnum char as its own piece (the word-piece split upper bound)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
     // --- WARC codec + byte-identical extraction ---------------------------
     "w01_warc_fixture" -> ((s, dir) => {
       import s.implicits._
@@ -797,6 +820,26 @@ object Queries {
         | CAST(10 + doc_id % 30 AS INT) AS width,
         | CAST(10 + (doc_id * 7) % 20 AS INT) AS height,
         | true AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m02_media_transform" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN m <= 12 THEN w ELSE greatest(1, (w*12)//m) END AS INT) AS width,
+        |  CAST(CASE WHEN m <= 12 THEN h ELSE greatest(1, (h*12)//m) END AS INT) AS height,
+        |  CAST((doc_id*37) % 256 AS INT) AS avg_r,
+        |  CAST((doc_id*59) % 256 AS INT) AS avg_g,
+        |  CAST((doc_id*83) % 256 AS INT) AS avg_b,
+        |  true AS valid
+        |FROM (SELECT doc_id, 10 + doc_id % 30 AS w, 10 + (doc_id*7) % 20 AS h,
+        |        greatest(10 + doc_id % 30, 10 + (doc_id*7) % 20) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t06_subword_count" ->
+      // alnum runs + every non-space non-alnum char (Spark's trim() strips
+      // only ASCII spaces, so tab/newline pieces count on both sides)
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) +
+        |       len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // fixed expected outputs, encoded as VALUES so the driver enforces the

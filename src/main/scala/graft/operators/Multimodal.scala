@@ -74,6 +74,95 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic solid-color synthetic PNG: with every pixel identical,
+    * any resize kernel preserves the color exactly — the fixture that makes
+    * feature extraction closed-form checkable. */
+  def syntheticSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image resize (ImageIO + Graphics2D): longest side scaled to
+    * `maxDim` with integer math (w2 = max(1, w*maxDim/max(w,h))) so the
+    * output dimensions have a closed form; images already within bounds
+    * pass through untouched. Null for undecodable payloads. */
+  def resizeOne(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val m = math.max(w, h)
+    if (m <= maxDim) return bytes
+    val w2 = math.max(1, w * maxDim / m)
+    val h2 = math.max(1, h * maxDim / m)
+    val out = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, w2, h2, null) finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 128)
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class MediaFeatures(width: Int, height: Int,
+                                 avg_r: Int, avg_g: Int, avg_b: Int, valid: Boolean)
+
+  /** Real feature extraction: decoded dimensions + mean RGB (floor of the
+    * exact per-channel sum). The embedding-ish signal a training pipeline
+    * derives per image, minus the model inference this environment can't
+    * run. */
+  def featuresOne(bytes: Array[Byte]): MediaFeatures = {
+    if (bytes == null || bytes.isEmpty) return MediaFeatures(0, 0, 0, 0, 0, valid = false)
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return MediaFeatures(0, 0, 0, 0, 0, valid = false)
+    val w = img.getWidth
+    val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    MediaFeatures(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, valid = true)
+  }
+
+  final case class TransformedRow(doc_id: Long, width: Int, height: Int,
+                                  avg_r: Int, avg_g: Int, avg_b: Int, valid: Boolean)
+
+  /** Resize + feature-extract as one per-partition batch pass (decoder
+    * state amortized across the partition's rows, media bytes touched
+    * once). Input: (doc_id LONG, media BINARY). */
+  def transform(spark: SparkSession, df: DataFrame, maxDim: Int): Dataset[TransformedRow] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val f = featuresOne(resizeOne(bytes, maxDim))
+          TransformedRow(id, f.width, f.height, f.avg_r, f.avg_g, f.avg_b, f.valid)
+        }
+      }
+  }
+
   /** Batch decode: per-partition, amortized decoder init — the hot loop
     * touches each payload once. Input needs (doc_id LONG, media BINARY). */
   def decode(spark: SparkSession, df: DataFrame): Dataset[MediaRow] = {

@@ -154,6 +154,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(1).meta.valid)
   }
 
+  test("resize: integer-math dims, pass-through within bounds, solid color preserved") {
+    // oversized: 40x20 → longest side 12 → (40*12/40, 20*12/40) = (12, 6)
+    val big = Multimodal.syntheticSolidPng(40, 20, 0x405060)
+    val resized = Multimodal.resizeOne(big, maxDim = 12)
+    val f = Multimodal.featuresOne(resized)
+    assert((f.width, f.height) == (12, 6))
+    assert((f.avg_r, f.avg_g, f.avg_b) == (0x40, 0x50, 0x60), "solid color survives any kernel")
+    // within bounds: untouched bytes
+    val small = Multimodal.syntheticSolidPng(8, 5, 0x010203)
+    assert(Multimodal.resizeOne(small, maxDim = 12) eq small)
+    // undecodable → null
+    assert(Multimodal.resizeOne(Array[Byte](1, 2, 3), maxDim = 12) == null)
+    // distributed transform shape
+    import spark.implicits._
+    val media = Seq((1L, big), (2L, small)).toDF("doc_id", "media")
+    val rows = Multimodal.transform(spark, media, maxDim = 12).collect().sortBy(_.doc_id)
+    assert(rows.map(r => (r.doc_id, r.width, r.height)).toSeq ==
+      Seq((1L, 12, 6), (2L, 8, 5)))
+    assert(rows.forall(_.valid))
+  }
+
   test("frame sampling: stride-spaced chunks with exact byte math") {
     val out = Multimodal.sampleFrames(media, chunkSize = 1000, stride = 4)
       .select("doc_id", "frame_idx", "frame")
