@@ -477,6 +477,20 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    "d05_dup_clusters" -> ((s, dir) => {
+      // near-dup pairs → connected components → one representative per
+      // duplicate cluster (the "keep one" step). Planted clusters form
+      // cliques, so the expected components are closed-form in SQL; chain
+      // convergence (beyond what LSH cliques exercise) is in DedupSpec.
+      val pairs = Dedup.minhashPairs(
+        t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
+        textCol = "text2", k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .filter(col("id_a") % 11 < 3 && col("id_b") % 11 < 3)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // --- text analysis ----------------------------------------------------
     "t01_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"))
@@ -890,6 +904,12 @@ object Queries {
          | JOIN sh sa ON sa.doc_id = id_a
          | JOIN sh sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "d05_dup_clusters" ->
+      """SELECT a.doc_id, CAST(min(b.doc_id) AS BIGINT) AS cluster_rep
+        |FROM documents a JOIN documents b ON a.doc_id % 7 = b.doc_id % 7
+        |WHERE a.doc_id % 11 < 3 AND b.doc_id % 11 < 3
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "t05_stopword_ratio" -> {
       val allStops = graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.sorted

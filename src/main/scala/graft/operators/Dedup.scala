@@ -146,6 +146,49 @@ object Dedup {
       size(array_union(ga, gb)).cast("double")
   }
 
+  // --- Duplicate clusters (connected components over near-dup pairs) -------
+
+  /** Connected components over a near-dup pair list → (id, cluster_rep):
+    * the step between pairwise candidates and "keep one doc per duplicate
+    * cluster" in a training-data pipeline. Distributed min-label
+    * propagation with pointer jumping (rep := rep(rep) each round), so
+    * convergence is O(log diameter) joins, not O(diameter): a 10^6-doc
+    * duplicate CHAIN converges in ~20 rounds, while the common case
+    * (near-clique clusters from LSH pairs) converges in 1-2. Each round is
+    * two shuffles on bounded keys; lineage is cut per round with
+    * localCheckpoint so plans stay flat.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor-min: the smallest rep among self and direct neighbors
+      val nbrMin = edges.join(comp, edges("src") === comp("id"))
+        .groupBy(col("dst").as("nid")).agg(min(col("rep")).as("nbr_rep"))
+      val stepped = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jump: rep := rep(rep) — halves remaining path lengths
+      val parents = stepped.select(col("id").as("pid"), col("rep").as("prep"))
+      val jumped = stepped.join(parents, stepped("rep") === parents("pid"), "left")
+        .select(stepped("id"), coalesce(col("prep"), stepped("rep")).as("rep"))
+        .localCheckpoint(true)
+      val changed = jumped.join(comp.withColumnRenamed("rep", "old_rep"), "id")
+        .filter(col("rep") =!= col("old_rep")).limit(1).count()
+      comp = jumped
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    comp.select(col("id"), col("rep").as("cluster_rep"))
+  }
+
   // --- Embedding near-dup ---------------------------------------------------
 
   /** Cosine similarity of two float-array columns, accumulated in double —

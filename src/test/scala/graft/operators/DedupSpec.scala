@@ -80,6 +80,21 @@ class DedupSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
   }
 
+  test("duplicate clusters: pointer-jumping components converge on chains, cliques, singleton-free") {
+    import spark.implicits._
+    // a 12-node CHAIN (diameter 11 — needs jumping, 1 round of neighbor-min
+    // would not finish), a 4-clique, and an isolated pair
+    val chain = (1 until 12).map(i => (i.toLong, (i + 1).toLong))
+    val clique = for (a <- 20 to 23; b <- (a + 1) to 23) yield (a.toLong, b.toLong)
+    val pair = Seq((40L, 41L))
+    val pairs = (chain ++ clique ++ pair).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 12L).forall(comp(_) == 1L), "chain collapses to its min id")
+    assert((20L to 23L).forall(comp(_) == 20L))
+    assert(comp(40L) == 40L && comp(41L) == 40L)
+    assert(comp.size == 18, "only ids that appear in pairs are assigned")
+  }
+
   test("embedding near-dup via banded hyperplane LSH: recall ≥ 0.9 on noisy pairs") {
     // planted near-dups are NOISE-perturbed (direction changes!), not
     // scalar multiples — a single-signature LSH only recalls ~28% of these
