@@ -491,6 +491,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "d06_line_dedup" -> ((s, dir) =>
+      // corpus-wide first-wins line dedup over 10-word lines; the planted
+      // dup-block docs collapse to their cluster head's lines
+      Dedup.lineDedup(
+        t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
+        textCol = "text2", wordsPerLine = 10)
+        .select("doc_id", "n_lines", "n_dup_lines", "text_dedup")
+        .orderBy("doc_id")),
+
+    "d07_decontam" -> ((s, dir) => {
+      // benchmark decontamination: eval set = first 20 words of every 25th
+      // doc; any training doc sharing a 13-gram with it is flagged (the
+      // source docs themselves + every doc in a planted dup cluster whose
+      // head seeded the eval set)
+      val d = t(s, dir, "documents").withColumn("text2", expr(text2Spark))
+      val evalSet = d.filter(col("doc_id") % 25 === 0)
+        .select(concat_ws(" ",
+          slice(filter(split(trim(col("text2")), "\\s+"), w => length(w) > 0),
+            1, 20)).as("text"))
+      Dedup.decontaminate(d, evalSet, textCol = "text2", idCol = "doc_id", n = 13)
+        .orderBy("doc_id")
+    }),
+
     // --- text analysis ----------------------------------------------------
     "t01_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"))
@@ -910,6 +933,42 @@ object Queries {
         |FROM documents a JOIN documents b ON a.doc_id % 7 = b.doc_id % 7
         |WHERE a.doc_id % 11 < 3 AND b.doc_id % 11 < 3
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "d06_line_dedup" ->
+      s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text2), '\\s+'), x -> len(x) > 0) AS ws
+         | FROM p),
+         |l AS (SELECT doc_id, i,
+         |  array_to_string(list_slice(ws, (i-1)*10+1, (i-1)*10+10), ' ') AS line
+         | FROM w, unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)),
+         |r AS (SELECT doc_id, i, line,
+         |  row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn FROM l)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_lines,
+         | coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY i), '') AS text_dedup
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d07_decontam" ->
+      s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(trim(text2)), '\\s+'), x -> len(x) > 0) AS ws
+         | FROM p),
+         |tg AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 13
+         |  THEN list_transform(range(1, len(ws) - 11),
+         |    i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+         |  ELSE [] END) AS gs FROM w),
+         |eg AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(ews) >= 13
+         |  THEN list_transform(range(1, len(ews) - 11),
+         |    i -> array_to_string(list_slice(ews, i, i + 12), ' '))
+         |  ELSE [] END)) AS g
+         | FROM (SELECT list_slice(ws, 1, 20) AS ews FROM w WHERE doc_id % 25 = 0)),
+         |h AS (SELECT doc_id, CAST(count(*) AS INT) AS n
+         | FROM (SELECT doc_id, unnest(gs) AS g FROM tg) tgu
+         | JOIN eg USING (g) GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+         | coalesce(h.n, 0) > 0 AS contaminated
+         |FROM p LEFT JOIN h USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
     "t05_stopword_ratio" -> {
       val allStops = graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.sorted

@@ -189,6 +189,108 @@ object Dedup {
     comp.select(col("id"), col("rep").as("cluster_rep"))
   }
 
+  // --- Line-level dedup (corpus-wide first-wins, C4-style) -----------------
+
+  /** Whitespace tokens of a document (lowercased off — line identity is
+    * case-sensitive like C4's), empties filtered so a trailing blank never
+    * makes a phantom line. */
+  private def wsTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), w => length(w) > 0)
+
+  /** Corpus-wide line deduplication — the C4 pipeline's "drop any line
+    * already seen elsewhere in the corpus" step, generalized to fixed
+    * `wordsPerLine`-word lines because web-extracted text often arrives
+    * newline-less. Splits each document into consecutive word windows,
+    * keeps only the globally FIRST occurrence of every distinct line
+    * (order = (doc id, line index) — deterministic, matches the
+    * reference's first-capture-wins discipline, dedupe.go:47-81 analog at
+    * line granularity), and reassembles the surviving lines in order.
+    *
+    * Returns (idCol, n_lines, n_dup_lines, text_dedup).
+    *
+    * Plan shape at scale: one narrow chunking projection, ONE wide
+    * exchange — the per-line first-wins window keyed on the line text
+    * (each group is exactly the duplicate multiplicity of that line, so
+    * no key carries more rows than its dup count; AQE skew-split covers
+    * boilerplate mega-lines) — then a per-doc groupBy that reuses the
+    * doc-id exchange. Never all-pairs, never a driver-side set.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      wordsPerLine: Int = 10): DataFrame = {
+    val W = wordsPerLine
+    val words = wsTokens(col(textCol))
+    val nLines = ceil(size(words).cast("double") / W).cast("int")
+    // guard: Spark's sequence(1, 0) DESCENDS instead of returning empty
+    val lines = when(size(words) > 0,
+      transform(sequence(lit(1), nLines),
+        i => concat_ws(" ", slice(words, (i - lit(1)) * W + 1, lit(W)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs
+      .select(col(idCol), posexplode(lines).as(Seq("idx", "line")))
+    val w = Window.partitionBy(col("line")).orderBy(col(idCol).asc, col("idx").asc)
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).cast("int").as("n_dup_lines"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("text_dedup"))
+  }
+
+  // --- Benchmark decontamination -------------------------------------------
+
+  /** Word n-grams of a document (lowercased, whitespace-tokenized, empties
+    * filtered), DISTINCT within the doc. Empty array below n words — no
+    * partial tail gram (a 12-word doc shares no 13-gram with anything). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val words = wsTokens(lower(c))
+    array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word n-gram with an evaluation corpus (n = 13 is the
+    * de-facto contamination window in published LLM training reports).
+    * Returns one row per training doc: (idCol, n_hits = distinct shared
+    * n-grams, contaminated).
+    *
+    * Plan shape at scale: the eval side (benchmark suites — thousands of
+    * docs, not billions) collapses to a DISTINCT n-gram set that is
+    * BROADCAST; the training side is a narrow explode joined map-side
+    * (zero shuffle on the 100 TB side until the per-doc count, which
+    * groups on the already-carried doc id). Pass a large eval set and
+    * Spark's AQE falls back to a shuffled hash join on the gram key —
+    * still never all-pairs. */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 13,
+      evalTextCol: String = "text"): DataFrame = {
+    val evalGrams = eval
+      .select(explode(wordNgrams(col(evalTextCol), n)).as("g"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   // --- Embedding near-dup ---------------------------------------------------
 
   /** Cosine similarity of two float-array columns, accumulated in double —

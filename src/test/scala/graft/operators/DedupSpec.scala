@@ -135,4 +135,59 @@ class DedupSpec extends AnyFunSuite {
     val recall = truth.intersect(found).size.toDouble / truth.size
     assert(recall >= 0.9, f"banded LSH recall $recall%.2f < 0.9 (${found.size} found, ${truth.size} true)")
   }
+
+  test("line dedup: corpus-wide first-wins over word-window lines, brute-force-verified") {
+    val W = 3
+    val ds = Seq(
+      (0L, "a b c d e f g h i"),           // lines: [a b c][d e f][g h i]
+      (1L, "a b c d e f x y z"),           // first two lines dup doc 0
+      (2L, "g h i a b c new words here"),  // two dups (cross-order) + one fresh
+      (3L, "   "),                         // no tokens: no output row
+      (4L, "d e f"),                       // single line, dup of doc 0's 2nd
+      (5L, "tail line of four")            // 4 words → [tail line of][four]
+    )
+    // brute-force truth: global first occurrence by (doc_id, line_idx)
+    val all = ds.flatMap { case (id, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).grouped(W).zipWithIndex
+        .map { case (ws, i) => (id, i, ws.mkString(" ")) }
+    }
+    val firstOf = all.groupBy(_._3).map { case (l, occ) => l -> occ.minBy(o => (o._1, o._2)) }
+    val expect = all.groupBy(_._1).map { case (id, ls) =>
+      val kept = ls.sortBy(_._2).filter(o => firstOf(o._3) == o)
+      id -> (ls.size, ls.size - kept.size, kept.map(_._3).mkString(" "))
+    }
+    val got = Dedup.lineDedup(ds.toDF("doc_id", "text"), wordsPerLine = W)
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (id, n, d, t) => id -> (n, d, t) }.toMap
+    assert(got.keySet == expect.keySet.filter(id => expect(id)._1 > 0))
+    expect.filter(_._2._1 > 0).foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)} expected $e")
+    }
+    assert(got(1L)._2 == 2 && got(2L)._2 == 2 && got(4L)._2 == 1)
+  }
+
+  test("decontaminate: flags docs sharing an n-gram with the eval set, exact hit counts") {
+    val n = 5
+    val evalTexts = Seq(
+      base.split("\\s+").take(10).mkString(" "),       // prefix of base
+      "bloom filters cuckoo hashing and politeness budgets" // 7 words from doc 5
+    )
+    def grams(s: String): Set[String] = {
+      val ws = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < n) Set.empty[String] else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = evalTexts.flatMap(grams).toSet
+    val expect = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> grams(t).intersect(evalGrams).size }.toMap
+    val got = Dedup.decontaminate(docs, evalTexts.toDF("text"), n = n)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (id, hits, contaminated) =>
+      assert(hits == expect(id), s"doc $id: $hits hits, expected ${expect(id)}")
+      assert(contaminated == (hits > 0))
+    }
+    // the fixture must actually exercise both outcomes:
+    // docs 0/1 share base's prefix; doc 5 is hit via the second eval text
+    assert(expect(0L) > 0 && expect(1L) > 0 && expect(5L) > 0 && expect(3L) == 0)
+  }
 }
