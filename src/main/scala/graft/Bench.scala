@@ -27,7 +27,7 @@ object Bench {
   def headline(spark: SparkSession, nPages: Long): Headline = {
     import graft.functions.GraftFunctions._
     val nUrls = nPages * 40
-    val cfg = Frontier.Config(defaultBudget = 64, saltBuckets = 32)
+    val cfg = Frontier.Config(defaultBudget = 64, saltBuckets = 1)
     val parts = spark.sparkContext.defaultParallelism * 3
     val frontier = PagesGen.urls(spark, nUrls, 1000, 42L, partitions = parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

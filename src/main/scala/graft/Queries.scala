@@ -552,6 +552,14 @@ object Queries {
         .groupBy("n_shared").agg(count(lit(1)).as("n_docs"))
         .orderBy("n_shared")),
 
+    "t07_repetition" -> ((s, dir) =>
+      // Gopher-style repetition quality rules; the planted dup-block docs
+      // saturate both signals (top2_frac → 1.0), natural texts spread
+      TextAnalysis.repetitionSignals(
+        t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
+        textCol = "text2")
+        .orderBy("doc_id")),
+
     // --- similarity search ------------------------------------------------
     "s01_ann_brute" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -983,6 +991,29 @@ object Queries {
          |           / CAST(len(toks) AS DOUBLE) END AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "t07_repetition" ->
+      s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(trim(text2)), '\\s+'), x -> len(x) > 0) AS ws
+         | FROM p),
+         |g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+         | FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)),
+         |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+         |a2 AS (SELECT doc_id,
+         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top2_frac
+         | FROM c2 GROUP BY doc_id),
+         |g5 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+         | FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+         |c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g),
+         |a5 AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(cnt) AS DOUBLE) AS dup5_frac
+         | FROM c5 GROUP BY doc_id)
+         |SELECT p.doc_id, coalesce(a2.top2_frac, 0.0) AS top2_frac,
+         | coalesce(a5.dup5_frac, 0.0) AS dup5_frac
+         |FROM p LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     "f07_crawl_round" -> f07Sql,
 

@@ -10,8 +10,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * north_star). Every stage is a declarative DataFrame → DataFrame function
   * so Catalyst owns pushdown/pruning/reorder; shuffles happen exactly where
   * keyed state forces them (seen-join on url_hash, politeness rank on
-  * host), and the hot-host skew in the politeness window is broken
-  * explicitly with a two-phase salted top-k.
+  * host); the politeness window is skew-safe via Catalyst's map-side
+  * WindowGroupLimit partial top-k (plus an optional salted pre-rank for
+  * extreme budget×cluster-width products — see schedule's scaladoc).
   *
   * Reference semantics grafted in (SURVEY.md §2.4):
   *  - URL-seen is first-occurrence-wins (the sync.Map registration in
@@ -27,7 +28,10 @@ object Frontier {
   final case class Config(
       agent: String = "graftbot",
       defaultBudget: Int = 8,
-      saltBuckets: Int = 16,
+      // >1 enables the salted pre-rank in schedule(); the default
+      // single-phase plan is one exchange and skew-safe via map-side
+      // WindowGroupLimit (see schedule's scaladoc for when salting pays)
+      saltBuckets: Int = 1,
       sizeThreshold: Long = 2048L,
       seenParts: Int = 64,
       seenFpp: Double = 0.01,
@@ -193,15 +197,24 @@ object Frontier {
   }
 
   /** Stage 5 — politeness scheduling: per-host top-`budget` by priority
-    * (depth asc, warc_ts desc, url asc — the north_star priority queue),
-    * realized as a skew-safe two-phase ranking:
+    * (depth asc, warc_ts desc, url asc — the north_star priority queue).
     *
-    *   phase A: rank within (host, salt) where salt = pmod(url_hash, S) —
-    *            a hot host's rows spread over S tasks; keep ≤ budget each.
-    *   phase B: re-rank the ≤ S×budget survivors per host; keep ≤ budget.
+    * Default plan (saltBuckets ≤ 1): ONE exchange. The rank filter carries
+    * a literal maxBudget bound, so Catalyst's InferWindowGroupLimit inserts
+    * a map-side partial top-k before the host exchange: every map task
+    * forwards ≤ maxBudget rows per host, bounding both the wire volume and
+    * any reducer's per-host group at tasks×budget rows — skew-safe for
+    * every realistic politeness budget without a pre-exchange.
     *
-    * Phase B's per-host group is bounded by S×budget rows regardless of how
-    * hot the host is, so no single task ever sees an unbounded host.
+    * Salted plan (saltBuckets = S > 1) adds a phase A rank within
+    * (host, salt = pmod(url_hash, S)) before the per-host rank, capping the
+    * hot-host group at S×budget INDEPENDENT of cluster width. Only worth
+    * its extra full-frontier exchange when tasks×budget per host threatens
+    * a reducer (≈ tens of millions: e.g. 100k tasks × budget 10^3). The
+    * two plans provably emit identical rows: any row in a host's true
+    * top-budget is within its salt bucket's top-budget (asserted in
+    * FrontierSpec).
+    *
     * `batch_rank` (1..budget) is the fetch wave: one request per host per
     * wave. Expects (host, url_norm, url_hash, depth, warc_ts) + politeness
     * dim (host, budget). */
@@ -231,12 +244,16 @@ object Frontier {
       .map(p => math.max(cfg.defaultBudget,
         p.agg(coalesce(max(col("budget").cast("int")), lit(0))).head.getInt(0)))
       .getOrElse(cfg.defaultBudget)
-    val salted = withBudget.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
-    val wA = Window.partitionBy(col("host"), col("__salt")).orderBy(order: _*)
-    val phaseA = salted
-      .withColumn("__rnA", row_number().over(wA))
-      .filter(col("__rnA") <= lit(maxBudget) && col("__rnA") <= col("__budget"))
-      .drop("__rnA", "__salt")
+    val phaseA =
+      if (cfg.saltBuckets <= 1) withBudget
+      else {
+        val salted = withBudget.withColumn("__salt", pmod(col("url_hash"), lit(cfg.saltBuckets)))
+        val wA = Window.partitionBy(col("host"), col("__salt")).orderBy(order: _*)
+        salted
+          .withColumn("__rnA", row_number().over(wA))
+          .filter(col("__rnA") <= lit(maxBudget) && col("__rnA") <= col("__budget"))
+          .drop("__rnA", "__salt")
+      }
     val wB = Window.partitionBy(col("host")).orderBy(order: _*)
     phaseA
       .withColumn("batch_rank", row_number().over(wB))

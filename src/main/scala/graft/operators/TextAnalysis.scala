@@ -81,6 +81,53 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  // --- Repetition signals (Gopher-style quality rules) ---------------------
+
+  /** Within-document repetition signals, the Gopher/MassiveText quality
+    * rules re-expressed as count ratios (integer-ratio doubles — exact and
+    * oracle-comparable):
+    *   top2_frac — occurrences of the single most frequent word 2-gram over
+    *     all 2-gram occurrences (boilerplate/spam pages repeat one phrase);
+    *   dup5_frac — fraction of word 5-gram occurrences whose gram occurs
+    *     more than once (template/churned text).
+    * Docs with fewer than n words score 0.0.
+    *
+    * Plan shape at scale: explode n-grams → partial-aggregated
+    * groupBy(id, gram) → groupBy(id); both exchanges carry the doc id, the
+    * second reuses the first's hash partitioning (no extra shuffle), and
+    * map-side combine collapses within-doc repeats before any wire bytes.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def gramStats(n: Int, outCol: String, dup: Boolean): DataFrame = {
+      val words = filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0)
+      val grams = when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val counts = docs
+        .select(col(idCol), explode(grams).as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val agg =
+        if (dup) counts.groupBy(col(idCol)).agg(
+          (sum(when(col("cnt") > 1, col("cnt")).otherwise(0)).cast("double") /
+            sum(col("cnt")).cast("double")).as(outCol))
+        else counts.groupBy(col(idCol)).agg(
+          (max(col("cnt")).cast("double") /
+            sum(col("cnt")).cast("double")).as(outCol))
+      agg
+    }
+    docs.select(col(idCol))
+      .join(gramStats(2, "top2_frac", dup = false), Seq(idCol), "left")
+      .join(gramStats(5, "dup5_frac", dup = true), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
   /** Rolling-hash document fingerprint: winnowing-style min-k of 64-bit
     * xxh64 values over character w-grams — robust to small edits. One
     * codegen kernel pass per row (the array-expression form hashed every

@@ -181,12 +181,10 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
-  test("schedule: two-phase salted top-k equals plain per-host top-k") {
+  test("schedule: salted and single-phase plans both equal plain per-host top-k") {
     val canon = Frontier.canonicalize(pagesDf)
       .withColumn("depth", abs(col("url_hash") % 3).cast("int"))
       .select("url_norm", "host", "url_hash", "depth", "warc_ts")
-    val got = Frontier.schedule(canon, Some(politenessDf), cfg)
-      .select("url_norm", "batch_rank").as[(String, Int)].collect().toMap
     // plain oracle
     val rows = canon.collect().map(r =>
       (r.getString(0), r.getString(1), r.getInt(3), r.getTimestamp(4).getTime))
@@ -195,7 +193,11 @@ class FrontierSpec extends AnyFunSuite {
       grp.sortBy(t => (t._3, -t._4, t._1)).take(budget).zipWithIndex
         .map { case (t, i) => t._1 -> (i + 1) }
     }.toMap
-    assert(got == want)
+    for (salt <- Seq(8, 1)) {
+      val got = Frontier.schedule(canon, Some(politenessDf), cfg.copy(saltBuckets = salt))
+        .select("url_norm", "batch_rank").as[(String, Int)].collect().toMap
+      assert(got == want, s"saltBuckets=$salt")
+    }
   }
 
   test("full crawl matches the sequential oracle for 3 rounds") {

@@ -208,4 +208,34 @@ class MultimodalSpec extends AnyFunSuite {
     // and the packing is tight: total/nParts within 2× of target
     assert(perPartBytes.map(_._2).sum == 5 * 100000L + 95 * 100L)
   }
+
+  test("repetition signals match a scala brute force, edge docs score 0") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam"),         // top2=5/5, dup5=2/2
+      (1L, "a b a b a b c"),                          // "a b" 3× of 6 2-grams
+      (2L, "all distinct words here today friend"),   // no repeats
+      (3L, "one two"),                                // 1 2-gram, no 5-gram
+      (4L, "short"),                                  // no grams at all
+      (5L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    def brute(t: String): (Double, Double) = {
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      def fr(n: Int, dup: Boolean): Double = {
+        if (ws.length < n) return 0.0
+        val cnts = ws.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity).map(_._2.size)
+        val tot = cnts.sum.toDouble
+        if (dup) cnts.filter(_ > 1).sum / tot else cnts.max / tot
+      }
+      (fr(2, dup = false), fr(5, dup = true))
+    }
+    val expect = docs.as[(Long, String)].collect().map { case (id, t) => id -> brute(t) }.toMap
+    val got = TextAnalysis.repetitionSignals(docs)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (id, t2, d5) =>
+      assert((t2, d5) == expect(id), s"doc $id: ($t2,$d5) expected ${expect(id)}")
+    }
+    val m = got.map(g => g._1 -> ((g._2, g._3))).toMap
+    assert(m(0L) == ((1.0, 1.0)) && m(2L)._1 < 0.5 && m(4L) == ((0.0, 0.0)))
+  }
 }
