@@ -65,6 +65,18 @@ object PlanAudit {
       "per-partition batch mapPartitions (decoder amortized), no shuffle before the transform",
       q("m02_media_transform"))
 
+    section("d06_line_dedup",
+      "narrow chunking projection, ONE wide exchange (per-line first-wins window), per-doc re-aggregate; no all-pairs",
+      q("d06_line_dedup"))
+
+    section("d07_decontam",
+      "eval n-gram set BROADCAST (BroadcastHashJoin on g); training side narrow explode, no shuffle before the per-doc count",
+      q("d07_decontam"))
+
+    section("t07_repetition",
+      "explode -> partial-aggregated groupBy(id, gram) -> groupBy(id); map-side combine on both, exchanges carry the doc id only",
+      q("t07_repetition"))
+
     // the integrated crawl-round core (f07's per-round plan, unpersisted):
     // canonicalize -> in-batch first-wins -> robots broadcast gate ->
     // two-phase schedule -> fetch join -> digest-dedup window
@@ -97,7 +109,7 @@ object PlanAudit {
     // the BENCH frontier path over a real SeenStore (small here; the plan
     // shape is what matters: probe exchange + codegen filter + pruned ranks)
     {
-      val cfg = Frontier.Config(defaultBudget = 64, saltBuckets = 32)
+      val cfg = Frontier.Config(defaultBudget = 64, saltBuckets = 1)
       val frontier = PagesGen.urls(spark, 20000, 100, 42L, partitions = 8)
       val canon = Frontier.canonicalize(frontier)
         .select(col("url_norm"), col("url_hash"), col("host"), col("warc_ts"), col("depth"))
@@ -106,7 +118,7 @@ object PlanAudit {
       store.append(canon.filter(pmod(col("url_hash"), lit(10L)) < 3).select("url_hash"), 0L)
       val plan = Frontier.schedule(store.filterUnseen(canon).result, None, cfg)
       section("bench_headline_schedule",
-        "the BENCH frontier path: seen_contains probe + WindowGroupLimit-pruned two-phase rank",
+        "the BENCH frontier path: seen_contains probe + single host exchange with WindowGroupLimit Partial map-side prune (salted pre-rank off)",
         plan)
     }
 
