@@ -552,6 +552,13 @@ object Queries {
         .groupBy("n_shared").agg(count(lit(1)).as("n_docs"))
         .orderBy("n_shared")),
 
+    "t08_seq_pack" -> ((s, dir) =>
+      // pretraining sequence packing: docs → ≤512-token sequences in
+      // doc_id order (distributed prefix sum, docs atomic)
+      TextAnalysis.packSequences(t(s, dir, "documents"), maxTokensPerSeq = 512)
+        .select("doc_id", "n_tokens", "seq_id", "seq_pos")
+        .orderBy("doc_id")),
+
     "t07_repetition" -> ((s, dir) =>
       // Gopher-style repetition quality rules; the planted dup-block docs
       // saturate both signals (top2_frac → 1.0), natural texts spread
@@ -991,6 +998,19 @@ object Queries {
          |           / CAST(len(toks) AS DOUBLE) END AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "t08_seq_pack" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))
+        |  END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS seq_id
+        | FROM b)
+        |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+        | CAST(row_number() OVER (PARTITION BY seq_id ORDER BY doc_id) AS INT) AS seq_pos
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t07_repetition" ->
       s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),

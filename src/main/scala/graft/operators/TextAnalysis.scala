@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -126,6 +127,60 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
         coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
+  // --- Sequence packing (pretraining batch assembly) -----------------------
+
+  /** Pack documents into training sequences of ≤ `maxTokensPerSeq`
+    * whitespace tokens, in deterministic `idCol` order: a doc is assigned
+    * to the sequence in flight where it STARTS (sequences may overflow by
+    * at most one document — docs stay atomic; the mid-doc chunking used by
+    * some pipelines composes downstream if wanted). Returns
+    * (idCol, n_tokens, seq_id, seq_pos).
+    *
+    * Scale shape: a global ordered cumulative sum is NOT a
+    * `Window.orderBy` (that is a single task). It is the two-phase
+    * distributed prefix sum: range-partition by id → per-partition token
+    * sums (a P-row driver aggregate) → broadcast exclusive offsets →
+    * per-partition running sum (narrow). The only wide exchanges are the
+    * range partitioning and the final bounded per-sequence rank. */
+  def packSequences(
+      docs: DataFrame,
+      maxTokensPerSeq: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      partitions: Int = 0): DataFrame = {
+    require(maxTokensPerSeq > 0, "maxTokensPerSeq must be positive")
+    val spark = docs.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // executed twice (offset aggregate + packing pass) — both runs share
+    // the plan, and range boundaries/sort are deterministic for the same
+    // input, so the pid→offset map lines up; persist upstream if the
+    // tokenization is expensive enough to matter
+    val base = docs
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val perPart = base
+      .select(spark_partition_id().as("pid"), col("n_tokens"))
+      .groupBy("pid").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = perPart.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((a, q) => a + perPart(q)).init).toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = base.schema.add("seq_id", "long")
+    val rdd = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value.getOrElse(pid, 0L)
+      it.map { row =>
+        val t = row.getLong(1)
+        val seq = acc / maxTokensPerSeq
+        acc += t
+        org.apache.spark.sql.Row(row.get(0), t, seq)
+      }
+    }
+    val w = Window.partitionBy(col("seq_id")).orderBy(col(idCol).asc)
+    spark.createDataFrame(rdd, schema)
+      .withColumn("seq_pos", row_number().over(w))
   }
 
   /** Rolling-hash document fingerprint: winnowing-style min-k of 64-bit

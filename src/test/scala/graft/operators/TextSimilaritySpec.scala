@@ -238,4 +238,37 @@ class MultimodalSpec extends AnyFunSuite {
     val m = got.map(g => g._1 -> ((g._2, g._3))).toMap
     assert(m(0L) == ((1.0, 1.0)) && m(2L)._1 < 0.5 && m(4L) == ((0.0, 0.0)))
   }
+
+  test("packSequences: greedy-by-start packing equals a sequential brute force across partitions") {
+    val cap = 10L
+    // token counts chosen to straddle partition AND sequence boundaries
+    val docs = (0L until 37L).map { i =>
+      val n = (i * 7 % 9 + 1).toInt // 1..9 tokens
+      (i, Seq.fill(n)(s"w$i").mkString(" "))
+    }
+    val out = TextAnalysis.packSequences(
+      docs.toDF("doc_id", "text"), cap, partitions = 5)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    // sequential brute force: doc goes to the sequence where its exclusive
+    // prefix sum lands
+    var acc = 0L
+    val expect = docs.map { case (id, t) =>
+      val n = t.split(" ").length.toLong
+      val seq = acc / cap
+      acc += n
+      (id, n, seq)
+    }
+    val posCtr = scala.collection.mutable.Map.empty[Long, Int]
+    val expectFull = expect.map { case (id, n, seq) =>
+      val p = posCtr.getOrElse(seq, 0) + 1
+      posCtr(seq) = p
+      (id, n, seq, p)
+    }
+    assert(out.toSeq == expectFull)
+    // the packing is tight: every sequence except possibly the last starts
+    // below the cap (greedy-by-start invariant)
+    val starts = expect.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(starts.toMap.values.forall(_ > 0))
+    assert(out.map(_._3).distinct.length == starts.size)
+  }
 }
