@@ -77,6 +77,10 @@ object PlanAudit {
       "explode -> partial-aggregated groupBy(id, gram) -> groupBy(id); map-side combine on both, exchanges carry the doc id only",
       q("t07_repetition"))
 
+    section("t08_seq_pack",
+      "two-phase distributed prefix sum: range partition + narrow per-partition running sum (RDD scan), NO single-task Window.orderBy; final rank bounded per sequence",
+      q("t08_seq_pack"))
+
     // the integrated crawl-round core (f07's per-round plan, unpersisted):
     // canonicalize -> in-batch first-wins -> robots broadcast gate ->
     // two-phase schedule -> fetch join -> digest-dedup window
