@@ -559,6 +559,12 @@ object Queries {
         .select("doc_id", "n_tokens", "seq_id", "seq_pos")
         .orderBy("doc_id")),
 
+    "t09_seq_chunks" -> ((s, dir) =>
+      // GPT-style packing: the concatenated token stream cut into exact
+      // 512-token sequences; each doc reports its span(s) per sequence
+      TextAnalysis.chunkSequences(t(s, dir, "documents"), maxTokensPerSeq = 512)
+        .orderBy("doc_id", "seq_id")),
+
     "t07_repetition" -> ((s, dir) =>
       // Gopher-style repetition quality rules; the planted dup-block docs
       // saturate both signals (top2_frac → 1.0), natural texts spread
@@ -998,6 +1004,22 @@ object Queries {
          |           / CAST(len(toks) AS DOUBLE) END AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "t09_seq_chunks" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |   ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))
+        |  END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum
+        | FROM b)
+        |SELECT doc_id, CAST(k AS BIGINT) AS seq_id,
+        | CAST(greatest(0, k * 512 - cum) AS BIGINT) AS tok_start,
+        | CAST(least(n_tokens, (k + 1) * 512 - cum) AS BIGINT) AS tok_end
+        |FROM c, unnest(range(cum // 512, (cum + n_tokens - 1) // 512 + 1)) AS t(k)
+        |WHERE n_tokens > 0
+        |ORDER BY doc_id, seq_id""".stripMargin,
 
     "t08_seq_pack" ->
       """WITH b AS (SELECT doc_id,

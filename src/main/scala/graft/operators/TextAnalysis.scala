@@ -144,19 +144,16 @@ object TextAnalysis {
     * sums (a P-row driver aggregate) → broadcast exclusive offsets →
     * per-partition running sum (narrow). The only wide exchanges are the
     * range partitioning and the final bounded per-sequence rank. */
-  def packSequences(
-      docs: DataFrame,
-      maxTokensPerSeq: Long,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      partitions: Int = 0): DataFrame = {
-    require(maxTokensPerSeq > 0, "maxTokensPerSeq must be positive")
+  /** (idCol, n_tokens, __cum = exclusive prefix sum of n_tokens in idCol
+    * order) via the two-phase distributed prefix sum described on
+    * packSequences. Executed twice (offset aggregate + cumsum pass) — both
+    * runs share the plan, and range boundaries/sort are deterministic for
+    * the same input, so the pid→offset map lines up; persist upstream if
+    * the tokenization is expensive enough to matter. */
+  private def withExclusiveCumsum(
+      docs: DataFrame, textCol: String, idCol: String, partitions: Int): DataFrame = {
     val spark = docs.sparkSession
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    // executed twice (offset aggregate + packing pass) — both runs share
-    // the plan, and range boundaries/sort are deterministic for the same
-    // input, so the pid→offset map lines up; persist upstream if the
-    // tokenization is expensive enough to matter
     val base = docs
       .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(p, col(idCol))
@@ -168,19 +165,57 @@ object TextAnalysis {
     val pids = perPart.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((a, q) => a + perPart(q)).init).toMap
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = base.schema.add("seq_id", "long")
+    val schema = base.schema.add("__cum", "long")
     val rdd = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value.getOrElse(pid, 0L)
       it.map { row =>
         val t = row.getLong(1)
-        val seq = acc / maxTokensPerSeq
+        val cum = acc
         acc += t
-        org.apache.spark.sql.Row(row.get(0), t, seq)
+        org.apache.spark.sql.Row(row.get(0), t, cum)
       }
     }
-    val w = Window.partitionBy(col("seq_id")).orderBy(col(idCol).asc)
     spark.createDataFrame(rdd, schema)
+  }
+
+  def packSequences(
+      docs: DataFrame,
+      maxTokensPerSeq: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      partitions: Int = 0): DataFrame = {
+    require(maxTokensPerSeq > 0, "maxTokensPerSeq must be positive")
+    val c = withExclusiveCumsum(docs, textCol, idCol, partitions)
+    val w = Window.partitionBy(col("seq_id")).orderBy(col(idCol).asc)
+    c.withColumn("seq_id", expr(s"__cum div ${maxTokensPerSeq}L"))
+      .drop("__cum")
       .withColumn("seq_pos", row_number().over(w))
+  }
+
+  /** GPT-style packing with mid-document splits: the token stream (docs
+    * concatenated in `idCol` order) is cut into consecutive sequences of
+    * EXACTLY `maxTokensPerSeq` tokens (except the last), and each document
+    * reports which of its token spans [tok_start, tok_end) lands in which
+    * sequence. Same two-phase distributed prefix sum as packSequences,
+    * then one narrow explode over the (few) sequences a doc touches —
+    * no extra shuffle at all. Empty documents emit no span. */
+  def chunkSequences(
+      docs: DataFrame,
+      maxTokensPerSeq: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      partitions: Int = 0): DataFrame = {
+    require(maxTokensPerSeq > 0, "maxTokensPerSeq must be positive")
+    val cap = maxTokensPerSeq
+    withExclusiveCumsum(docs, textCol, idCol, partitions)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__cum div ${cap}L"),
+        expr(s"(__cum + n_tokens - 1L) div ${cap}L"))))
+      .select(col(idCol),
+        col("seq_id"),
+        greatest(lit(0L), col("seq_id") * cap - col("__cum")).as("tok_start"),
+        least(col("n_tokens"), (col("seq_id") + 1) * cap - col("__cum")).as("tok_end"))
   }
 
   /** Rolling-hash document fingerprint: winnowing-style min-k of 64-bit

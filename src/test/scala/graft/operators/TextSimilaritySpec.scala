@@ -271,4 +271,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(starts.toMap.values.forall(_ > 0))
     assert(out.map(_._3).distinct.length == starts.size)
   }
+
+  test("chunkSequences: exact-cap mid-doc splits tile the token stream") {
+    val cap = 10L
+    val docs = (0L until 29L).map { i =>
+      val n = (i * 11 % 17 + (if (i % 9 == 0) 0 else 1)).toInt // incl. 0-token docs
+      (i, Seq.fill(n)(s"w$i").mkString(" "))
+    }
+    val out = TextAnalysis.chunkSequences(
+      docs.toDF("doc_id", "text"), cap, partitions = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val nTok = docs.map { case (id, t) =>
+      id -> (if (t.isEmpty) 0L else t.split(" ").length.toLong)
+    }.toMap
+    val total = nTok.values.sum
+    // 1. per-doc spans tile [0, n) in order, no gaps or overlaps
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val s = spans.sortBy(_._2)
+      assert(s.head._3 == 0L && s.last._4 == nTok(id), s"doc $id edges")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"doc $id gap between ${a._2} and ${b._2}")
+          assert(b._2 == a._2 + 1, s"doc $id skips a sequence")
+        case _ =>
+      }
+      s.foreach(sp => assert(sp._4 > sp._3, s"doc $id empty span"))
+    }
+    // 2. every doc with tokens appears; empty docs don't
+    assert(out.map(_._1).toSet == nTok.filter(_._2 > 0).keySet)
+    // 3. every sequence except the last holds exactly cap tokens
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (seq, toks) =>
+      if (seq < lastSeq) assert(toks == cap, s"seq $seq has $toks tokens")
+    }
+    assert(perSeq(lastSeq) == (if (total % cap == 0) cap else total % cap))
+    assert(perSeq.keys.toSeq.sorted == (0L to lastSeq))
+  }
 }
