@@ -29,7 +29,11 @@ object TableIO {
       parentId: Option[Long],
       dataDir: String,
       rowCount: Long,
-      counters: Map[String, Long])
+      counters: Map[String, Long],
+      // per-partition lineage: data file name -> rows (north_star: each
+      // snapshot records which files carry which rows, like an Iceberg
+      // manifest's per-file stats)
+      files: Map[String, Long] = Map.empty)
 
   private def mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -61,7 +65,27 @@ object TableIO {
       rowCount = node.get("rowCount").asLong(),
       counters = Option(node.get("counters")).map { c =>
         c.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty),
+      files = Option(node.get("files")).map { f =>
+        f.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       }.getOrElse(Map.empty))
+  }
+
+  /** Per-file row counts from the parquet footers (metadata-only reads,
+    * O(files) driver work — the same cost class as an Iceberg manifest). */
+  private def fileLineage(dataDir: String): Map[String, Long] = {
+    val dir = Paths.get(dataDir)
+    if (!Files.exists(dir)) return Map.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map { n =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dataDir/$n"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n -> r.getRecordCount finally r.close()
+      }.toMap
   }
 
   /** Write `df` as the next snapshot of `table`; returns the committed
@@ -85,7 +109,7 @@ object TableIO {
       org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").parquet(dataDir)
     val rows = obs.get("rows").asInstanceOf[Long]
-    val snap = Snapshot(id, parent, dataDir, rows, counters)
+    val snap = Snapshot(id, parent, dataDir, rows, counters, fileLineage(dataDir))
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
     val json = mapper.createObjectNode()
@@ -95,6 +119,8 @@ object TableIO {
     json.put("rowCount", snap.rowCount)
     val cnode = json.putObject("counters")
     snap.counters.toSeq.sortBy(_._1).foreach { case (k, v) => cnode.put(k, v) }
+    val fnode = json.putObject("files")
+    snap.files.toSeq.sortBy(_._1).foreach { case (k, v) => fnode.put(k, v) }
     val tmp = mdir.resolve(s".tmp-$id.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
     // POSIX rename: atomic, silently replaces an existing target — exactly

@@ -21,6 +21,12 @@ class TableIOSpec extends AnyFunSuite {
     assert(TableIO.read(spark, t, None).get.count() == 1L)
     assert(TableIO.read(spark, t, Some(0L)).get.count() == 2L) // time travel
     assert(TableIO.readManifest(t, 0L).counters == Map("n" -> 2L))
+    // per-partition lineage: the manifest knows which files carry which
+    // rows, and they sum to the snapshot's rowCount
+    val m0 = TableIO.readManifest(t, 0L)
+    assert(m0.files.nonEmpty && m0.files.keys.forall(_.endsWith(".parquet")))
+    assert(m0.files.values.sum == m0.rowCount)
+    assert(TableIO.readManifest(t, 1L).files.values.sum == 1L)
     assert(TableIO.read(spark, s"$dir/nope", None).isEmpty)
   }
 
