@@ -565,6 +565,14 @@ object Queries {
       TextAnalysis.chunkSequences(t(s, dir, "documents"), maxTokensPerSeq = 512)
         .orderBy("doc_id", "seq_id")),
 
+    "s03_ann_quantized" -> ((s, dir) => {
+      // int8-quantized brute-force ANN: same plan as s01, corpus holds
+      // 8-bit-range values (the 4x memory cut at 10^10 embeddings)
+      val embs = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(embs.filter(col("vec_id") < 5), embs, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "t07_repetition" -> ((s, dir) =>
       // Gopher-style repetition quality rules; the planted dup-block docs
       // saturate both signals (top2_frac → 1.0), natural texts spread
@@ -1100,6 +1108,22 @@ object Queries {
         |  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |   * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
         | FROM c, q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "s03_ann_quantized" ->
+      """WITH g AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE floor(CAST(x AS DOUBLE) * 127.0 / CAST(mx AS DOUBLE) + 0.5) END) AS qv
+        | FROM (SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(x))) AS mx FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, qv AS a FROM g WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(a) + 1), i -> a[i] * qv[i]))
+        |  / (sqrt(list_sum(list_transform(a, x -> x * x)))
+        |   * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos
+        | FROM g, q WHERE vec_id <> query_id)
         |SELECT query_id, neighbor_id, cos, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM s)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,

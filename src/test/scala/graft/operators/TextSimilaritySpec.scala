@@ -115,6 +115,34 @@ class SimilaritySpec extends AnyFunSuite {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.6, f"IVF mean recall@10 = $meanRecall%.2f (nProbe=8/16 cells)")
   }
+
+  test("int8-quantized top-k: high recall and tight cosine error vs full precision") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val quant = Similarity.quantizedTopK(queries, embs, k = 10)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(queries, embs, k = 10)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quantSets = quant.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteSets.map { case (q, truth) =>
+      quantSets.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      f"quantized mean recall@10 = ${recalls.sum / recalls.size}%.2f")
+    // per-pair cosine error of 8-bit quantization stays small
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    quant.foreach { case (q, n, c) =>
+      bruteCos.get((q, n)).foreach(full =>
+        assert(math.abs(full - c) < 0.02, s"pair ($q,$n): |$full - $c| >= 0.02"))
+    }
+    // quantized values are genuinely 8-bit-range integers
+    val qv = embs.limit(5).select(Similarity.quantize(col("embedding")).as("q"))
+      .as[Array[Float]].collect()
+    qv.flatten.foreach { v =>
+      assert(v == math.rint(v) || v == v.toLong.toFloat, s"non-integer $v")
+      assert(math.abs(v) <= 127f, s"out of int8 range: $v")
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
