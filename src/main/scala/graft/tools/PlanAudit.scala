@@ -49,6 +49,10 @@ object PlanAudit {
       "narrow argmax_cell projection for assignment (NO exchange between scan and cell id), broadcast centroids, probed-cells join",
       q("s02_ann_ivf"))
 
+    section("s03_ann_quantized",
+      "same shape as s01 (broadcast query side, one corpus scan, WindowGroupLimit partial top-k) with the narrow quantize projection fused into the scan",
+      q("s03_ann_quantized"))
+
     section("d02_minhash_pairs",
       "one-pass minhash_sig kernel, band-bucket groupBy (never all-pairs), capped collect_list buckets",
       q("d02_minhash_pairs"))
