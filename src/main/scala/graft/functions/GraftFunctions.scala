@@ -30,6 +30,25 @@ object Kernels {
   def hyperplaneSigs(v: ArrayData, nTables: Int, bandBits: Int, seed: Long): ArrayData =
     new GenericArrayData(Hashing.hyperplaneSigs(v.toFloatArray(), nTables, bandBits, seed))
 
+  /** Symmetric int8 quantization: scale by 127/max|x|, round via
+    * floor(x·s + 0.5) — the exact formula the s03 oracle replays in SQL.
+    * All-zero vectors quantize to zeros. */
+  def quantizeI8(v: ArrayData): ArrayData = {
+    val a = v.toFloatArray()
+    var mx = 0f
+    var i = 0
+    while (i < a.length) { val x = math.abs(a(i)); if (x > mx) mx = x; i += 1 }
+    val out = new Array[Float](a.length)
+    if (mx != 0f) {
+      i = 0
+      while (i < a.length) {
+        out(i) = math.floor(a(i).toDouble * 127.0 / mx.toDouble + 0.5).toFloat
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Nearest-centroid assignment against a broadcast codebook: returns the
     * cell id with the highest cosine (ties → lowest cell id, because cells
     * are scanned in ascending-id order and only a strictly-greater score
@@ -240,6 +259,18 @@ case class HyperplaneSigs(child: Expression, nTables: Int, bandBits: Int, seed: 
   override def prettyName: String = "hyperplane_sigs"
 }
 
+/** Int8 quantization of a FLOAT vector as one kernel call per row — the
+  * HOF formulation (array_max + transform lambdas) evaluates interpreted
+  * per element, which matters when quantizing 10^10 embeddings. */
+case class QuantizeI8(child: Expression) extends KernelUnary {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def kernelCall = "graft.functions.Kernels.quantizeI8(%s)"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.quantizeI8(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 = copy(child = c)
+  override def prettyName: String = "quantize_i8"
+}
+
 /** IVF cell assignment: argmax-cosine against a broadcast centroid
   * codebook, inside whole-stage codegen — replaces a corpus×nCells
   * cross-join + window (a nCells× shuffle blow-up) with zero exchanges. */
@@ -318,6 +349,7 @@ object GraftFunctions {
     col(JaccardShingles(expr(a), expr(b), k))
   def hyperplane_sigs(v: Column, nTables: Int, bandBits: Int, seed: Long): Column =
     col(HyperplaneSigs(expr(v), nTables, bandBits, seed))
+  def quantize_i8(v: Column): Column = col(QuantizeI8(expr(v)))
   def doc_fingerprint(c: Column, w: Int, k: Int): Column =
     col(FingerprintExpr(expr(c), w, k))
   def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))

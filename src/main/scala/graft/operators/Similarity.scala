@@ -44,7 +44,13 @@ object Similarity {
     * bandwidth cut; cosine is scale-invariant, so quantized cosine =
     * the SAME CosineSim codegen kernel over the quantized arrays — no new
     * scoring path. All-zero vectors quantize to zeros. */
-  def quantize(vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def quantize(vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.quantize_i8(vecCol)
+
+  /** Declarative HOF form of quantize (kept for verification — the kernel
+    * must match it element-for-element; asserted in SimilaritySpec). */
+  private[operators] def quantizeDeclarative(
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val mx = array_max(transform(vecCol, x => abs(x)))
     transform(vecCol, x =>
       when(mx === 0f, lit(0f))

@@ -135,13 +135,20 @@ class SimilaritySpec extends AnyFunSuite {
       bruteCos.get((q, n)).foreach(full =>
         assert(math.abs(full - c) < 0.02, s"pair ($q,$n): |$full - $c| >= 0.02"))
     }
-    // quantized values are genuinely 8-bit-range integers
-    val qv = embs.limit(5).select(Similarity.quantize(col("embedding")).as("q"))
-      .as[Array[Float]].collect()
-    qv.flatten.foreach { v =>
-      assert(v == math.rint(v) || v == v.toLong.toFloat, s"non-integer $v")
-      assert(math.abs(v) <= 127f, s"out of int8 range: $v")
+    // quantized values are genuinely 8-bit-range integers, and the codegen
+    // kernel equals the declarative HOF formulation element-for-element
+    val both = embs.select(
+      Similarity.quantize(col("embedding")).as("q"),
+      Similarity.quantizeDeclarative(col("embedding")).as("d"))
+      .as[(Array[Float], Array[Float])].collect()
+    both.foreach { case (q, d) =>
+      assert(q.toSeq == d.toSeq, "kernel != declarative")
+      q.foreach { v =>
+        assert(v == math.rint(v), s"non-integer $v")
+        assert(math.abs(v) <= 127f, s"out of int8 range: $v")
+      }
     }
+    assert(both.exists(_._1.exists(_ != 0f)))
   }
 }
 
