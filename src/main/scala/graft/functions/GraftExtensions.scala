@@ -28,7 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("http_parse", "parse raw HTTP response bytes to (status, headers, body)",
       exprs => HttpParse(exprs.head)),
     ("cosine_sim", "cosine similarity of two float arrays (double fold)",
-      exprs => CosineSim(exprs(0), exprs(1))))
+      exprs => CosineSim(exprs(0), exprs(1))),
+    ("quantize_i8", "symmetric int8 quantization of a float array (127/max scaling)",
+      exprs => QuantizeI8(exprs.head)))
 
   override def apply(e: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

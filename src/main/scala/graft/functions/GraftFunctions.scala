@@ -375,5 +375,6 @@ object GraftFunctions {
     one("lang_id", LangIdExpr)
     one("stopword_ratio", StopwordRatio)
     one("doc_fingerprint", e => FingerprintExpr(e, 8, 4))
+    one("quantize_i8", QuantizeI8)
   }
 }
