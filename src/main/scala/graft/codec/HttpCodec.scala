@@ -242,9 +242,12 @@ object HttpCodec {
     private var remaining = 0L // bytes left in the current chunk
     private var finished = false
 
+    /** Next CRLF-terminated line, or null when EOF hit before any byte —
+      * callers must treat null as truncated input, never as a blank line. */
     private def readLine(): String = {
       val sb = new StringBuilder(16)
       var c = in.read()
+      if (c == -1) return null
       while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
       if (sb.nonEmpty && sb.charAt(sb.length - 1) == '\r') sb.setLength(sb.length - 1)
       sb.toString
@@ -253,13 +256,15 @@ object HttpCodec {
     private def advance(): Unit = {
       // consume CRLF after previous chunk data, then the next size line
       var sizeLine = readLine()
-      while (sizeLine.trim.isEmpty) sizeLine = readLine() // tolerate blanks
+      while (sizeLine != null && sizeLine.trim.isEmpty) sizeLine = readLine() // tolerate blanks
+      if (sizeLine == null)
+        throw new HttpFormatException("EOF before chunk size line")
       val semi = sizeLine.indexOf(';')
       val hexStr = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
       val size = java.lang.Long.parseLong(hexStr, 16)
       if (size == 0) {
-        var t = readLine() // trailers until blank line
-        while (t.nonEmpty) t = readLine()
+        var t = readLine() // trailers until blank line (EOF ends them too)
+        while (t != null && t.nonEmpty) t = readLine()
         finished = true
       } else remaining = size
     }

@@ -94,9 +94,11 @@ object TextAnalysis {
     * Docs with fewer than n words score 0.0.
     *
     * Plan shape at scale: explode n-grams → partial-aggregated
-    * groupBy(id, gram) → groupBy(id); both exchanges carry the doc id, the
-    * second reuses the first's hash partitioning (no extra shuffle), and
-    * map-side combine collapses within-doc repeats before any wire bytes.
+    * groupBy(id, gram) → groupBy(id). Two exchanges — (id, gram)
+    * partitioning does NOT satisfy the (id)-only second aggregate, so
+    * Catalyst re-shuffles — but map-side combine collapses within-doc
+    * repeats before any wire bytes in both, and the second shuffle carries
+    * one row per distinct (id, gram), far smaller than the input.
     */
   def repetitionSignals(
       docs: DataFrame,

@@ -259,15 +259,24 @@ object WarcIO {
         val p = new org.apache.hadoop.fs.Path(path)
         val raw = p.getFileSystem(conf).open(p)
         val in = Codecs.sniffStream(new java.io.BufferedInputStream(raw, 1 << 16))
-        // streaming record iterator: one record in memory at a time
+        // streaming record iterator: one record in memory at a time. The
+        // stream must be released on EVERY exit path — clean exhaustion, a
+        // downstream limit/take that abandons the iterator mid-file, or task
+        // failure — so closing is tied to task completion, not iteration.
         val bin = new java.io.BufferedInputStream(in, 1 << 16)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; bin.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val first = WarcCodec.readRecord(bin)
+        if (first.isEmpty) closeOnce() // zero-record file: release immediately
         new Iterator[WarcRecord] {
-          private var nextRec = WarcCodec.readRecord(bin)
+          private var nextRec = first
           def hasNext: Boolean = nextRec.isDefined
           def next(): WarcRecord = {
             val r = nextRec.get
             nextRec = WarcCodec.readRecord(bin)
-            if (nextRec.isEmpty) bin.close()
+            if (nextRec.isEmpty) closeOnce()
             r
           }
         }.map { r =>

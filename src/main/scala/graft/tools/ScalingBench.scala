@@ -45,7 +45,10 @@ object ScalingBench {
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ScalingBench", nPages.toString, cores.toString)).asJava
-    val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+    // stderr is merged into stdout (we only scan for the RESULT line): a
+    // child that writes >64 KB of Spark WARN logs to an undrained stderr
+    // pipe would block on write and deadlock the parent readAllBytes
+    val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
     out.linesIterator.find(_.startsWith("RESULT ")) match {

@@ -42,15 +42,33 @@ object WarcTool {
       path.split("/").lastOption.filter(_.nonEmpty).getOrElse("index")
     }
     val base = base0.replace("/", "_")
-    if (base.length <= 255) base
+    if (base.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 255) base
     else {
+      // clamp on UTF-8 BYTES (the filesystem limit), trimming at a
+      // codepoint boundary so a multi-byte name never splits mid-character
       val dot = base.lastIndexOf('.')
-      // keep the extension when it is a sane suffix (like path.Ext)
-      if (dot > 0 && base.length - dot <= 32) {
-        val ext = base.substring(dot)
-        base.substring(0, 255 - ext.length) + ext
-      } else base.substring(0, 255)
+      val (stem, ext) =
+        if (dot > 0 && base.length - dot <= 32) (base.substring(0, dot), base.substring(dot))
+        else (base, "")
+      val extBytes = ext.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      utf8Truncate(stem, 255 - extBytes) + ext
     }
+  }
+
+  /** Longest prefix of `s` whose UTF-8 encoding is ≤ maxBytes, cut at a
+    * codepoint boundary. */
+  private def utf8Truncate(s: String, maxBytes: Int): String = {
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w =
+        if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      if (bytes + w > maxBytes) return s.substring(0, i)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    s
   }
 
   /** Collision handling with `--hash-suffix`
@@ -73,13 +91,13 @@ object WarcTool {
     md.digest()
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
-    case "verify" :: files if files.nonEmpty =>
-      // Bounded-memory scan (the reference's spooledtempfile shape,
-      // /root/reference/pkg/spooledtempfile/spooled.go): payloads spool to
-      // disk past 1 MB, the block digest accumulates during the scan, and
-      // the payload digest streams through the HTTP decode — a record
-      // larger than the heap (or the 2 GB array cap) verifies fine.
+  /** Verify all records of `files`; returns (records checked, failures).
+    * Bounded-memory scan (the reference's spooledtempfile shape,
+    * /root/reference/pkg/spooledtempfile/spooled.go): payloads spool to
+    * disk past 1 MB, the block digest accumulates during the scan, and
+    * the payload digest streams through the HTTP decode — a record
+    * larger than the heap (or the 2 GB array cap) verifies fine. */
+  private[tools] def verifyFiles(files: Seq[String]): (Int, Int) = {
       var total = 0
       var bad = 0
       files.foreach { f =>
@@ -89,6 +107,9 @@ object WarcTool {
           while (rec.isDefined) {
             val r = rec.get
             total += 1
+            // version membership (/root/reference/cmd/verify.go:299-307):
+            // only WARC/1.0 and WARC/1.1 are valid; anything else fails
+            val versionOk = r.version == "WARC/1.0" || r.version == "WARC/1.1"
             val blockOk = r.blockDigest.isEmpty || r.blockDigest == r.computedBlockDigest
             // payload-digest check (/root/reference/cmd/verify.go:167-252):
             // re-parse HTTP, recompute over the decoded body, dispatch on
@@ -108,9 +129,10 @@ object WarcTool {
                   case _ => false
                 }
               } catch { case _: Exception => false }
-            if (!blockOk || !payloadOk) bad += 1
+            if (!blockOk || !payloadOk || !versionOk) bad += 1
             val state =
-              if (blockOk && payloadOk) "OK"
+              if (!versionOk) s"BAD-VERSION ${r.version}"
+              else if (blockOk && payloadOk) "OK"
               else if (!blockOk) s"BLOCK-MISMATCH ${r.computedBlockDigest} != ${r.blockDigest}"
               else "PAYLOAD-MISMATCH"
             println(f"${r.warcType}%-10s cl=${r.contentLength}%-8d digest=$state uri=${r.targetUri}")
@@ -119,15 +141,28 @@ object WarcTool {
           }
         } finally in.close()
       }
+      (total, bad)
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "verify" :: files if files.nonEmpty =>
+      val (total, bad) = verifyFiles(files)
       println(s"checked $total records, $bad digest mismatches")
       if (bad > 0) sys.exit(1)
 
-    case "extract" :: rest if rest.length >= 2 =>
+    case "extract" :: rest if rest.filterNot(_.startsWith("--")).length >= 2 =>
       val flags = rest.filter(_.startsWith("--")).toSet
       val positional = rest.filterNot(_.startsWith("--"))
-      val (file, outDir) = (positional(0), positional(1))
+      // reference parity (/root/reference/cmd/extract.go:24-75): N input
+      // files iterated in argv order, records processed under a sized
+      // waitgroup capped by --threads
+      val files = positional.init
+      val outDir = positional.last
       val hostSort = flags.contains("--host-sort")
       val hashSuffix = flags.contains("--hash-suffix")
+      val threads = flags.collectFirst {
+        case f if f.startsWith("--threads=") => f.stripPrefix("--threads=").toInt
+      }.getOrElse(1).max(1)
       // --content-type=a,b keeps responses whose HTTP Content-Type contains
       // any given value (/root/reference/cmd/extract.go:100-104)
       val ctFilter: Seq[String] = flags.collectFirst {
@@ -136,58 +171,89 @@ object WarcTool {
       }.getOrElse(Seq.empty)
       val dir = new java.io.File(outDir)
       dir.mkdirs()
-      val in = open(file)
-      var counts = Map.empty[String, Int].withDefaultValue(0)
-      try {
-        var rec = WarcCodec.readRecordSpooled(in)
-        while (rec.isDefined) {
-          val r = rec.get
-          if (r.headers.getOrElse("Content-Type", "").contains("msgtype=response") &&
-              r.warcType != "revisit") {
-            // first pass reads only the header block (for ct/name); the
-            // body stream is closed unread and re-opened per use below
-            val (msg, body0) = HttpCodec.decodedBodyStream(r.payload.inputStream())
-            body0.close()
-            val httpCt = msg.header("Content-Type").getOrElse("")
-            if (ctFilter.isEmpty || ctFilter.exists(httpCt.contains)) {
-              val ct = if (httpCt.isEmpty) "unknown" else httpCt.split(";")(0).trim
-              counts = counts.updated(ct, counts(ct) + 1)
-              val name = extractName(r.targetUri, msg.header("Content-Disposition"))
-              val parent =
-                if (!hostSort) dir
-                else {
-                  val host = graft.codec.UrlNormalizer.host(r.targetUri)
-                  val d = new java.io.File(dir, if (host.isEmpty) "unknown" else host)
-                  d.mkdirs(); d
-                }
-              var out = new java.io.File(parent, name)
-              if (out.exists() && hashSuffix) {
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      // sizedwaitgroup analog: at most `threads` records in flight, the
+      // reader blocks acquiring a permit past that
+      val gate = new java.util.concurrent.Semaphore(threads)
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      // serializes the exists/collision-naming decision so two concurrent
+      // records with the same target name can't both claim one path
+      val nameLock = new Object
+
+      def processRecord(r: graft.codec.SpooledWarcRecord): Unit =
+        try {
+          // first pass reads only the header block (for ct/name); the
+          // body stream is closed unread and re-opened per use below
+          val (msg, body0) = HttpCodec.decodedBodyStream(r.payload.inputStream())
+          body0.close()
+          val httpCt = msg.header("Content-Type").getOrElse("")
+          if (ctFilter.isEmpty || ctFilter.exists(httpCt.contains)) {
+            val ct = if (httpCt.isEmpty) "unknown" else httpCt.split(";")(0).trim
+            counts.merge(ct, 1, (a, b) => a + b)
+            val name = extractName(r.targetUri, msg.header("Content-Disposition"))
+            val parent =
+              if (!hostSort) dir
+              else {
+                val host = graft.codec.UrlNormalizer.host(r.targetUri)
+                val d = new java.io.File(dir, if (host.isEmpty) "unknown" else host)
+                d.mkdirs(); d
+              }
+            val out = nameLock.synchronized {
+              var o = new java.io.File(parent, name)
+              if (o.exists() && hashSuffix) {
                 // streaming compare: sha1 of the existing file vs a fresh
                 // decode pass over the spool — nothing materializes
-                val fin = new java.io.BufferedInputStream(new FileInputStream(out), 1 << 16)
+                val fin = new java.io.BufferedInputStream(new FileInputStream(o), 1 << 16)
                 val existingSha = try streamDigest(fin, "SHA-1") finally fin.close()
                 val newSha = streamDigest(
                   HttpCodec.decodedBodyStream(r.payload.inputStream())._2, "SHA-1")
                 if (!java.util.Arrays.equals(existingSha, newSha))
-                  out = new java.io.File(parent, hashSuffixName(name, Digests.base32(newSha)))
+                  o = new java.io.File(parent, hashSuffixName(name, Digests.base32(newSha)))
               }
-              val sink = new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(out), 1 << 16)
-              var written = 0L
-              try {
-                val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
-                val buf = new Array[Byte](64 << 10)
-                var n = body.read(buf)
-                while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
-              } finally sink.close()
-              println(s"wrote ${out.getPath} ($written B, $ct)")
+              o.createNewFile()
+              o
             }
+            val sink = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(out), 1 << 16)
+            var written = 0L
+            try {
+              val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
+              val buf = new Array[Byte](64 << 10)
+              var n = body.read(buf)
+              while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
+            } finally sink.close()
+            println(s"wrote ${out.getPath} ($written B, $ct)")
           }
-          r.payload.close()
-          rec = WarcCodec.readRecordSpooled(in)
+        } catch {
+          case e: Exception =>
+            failures.incrementAndGet()
+            System.err.println(s"extract failed for ${r.targetUri}: ${e.getMessage}")
+        } finally r.payload.close()
+
+      try {
+        files.foreach { file =>
+          val in = open(file)
+          try {
+            var rec = WarcCodec.readRecordSpooled(in)
+            while (rec.isDefined) {
+              val r = rec.get
+              if (r.headers.getOrElse("Content-Type", "").contains("msgtype=response") &&
+                  r.warcType != "revisit") {
+                gate.acquire()
+                pool.execute(() => try processRecord(r) finally gate.release())
+              } else r.payload.close()
+              rec = WarcCodec.readRecordSpooled(in)
+            }
+          } finally in.close()
         }
-      } finally in.close()
-      counts.toSeq.sortBy(_._1).foreach { case (ct, n) => println(s"$ct: $n") }
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      }
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq.sortBy(_._1).foreach { case (ct, n) => println(s"$ct: $n") }
+      if (failures.get() > 0) sys.exit(1)
 
     case "write" :: nStr :: outDir :: rest =>
       // distributed sink drive: synthetic pages → rotated .warc.gz files
@@ -204,7 +270,7 @@ object WarcTool {
       if (bad > 0) sys.exit(1)
 
     case _ =>
-      System.err.println("usage: WarcTool verify <file>… | extract <file> <outDir> [--host-sort] [--hash-suffix] | write <n> <outDir> [recordsPerFile]")
+      System.err.println("usage: WarcTool verify <file>… | extract <file>… <outDir> [--host-sort] [--hash-suffix] [--threads=N] [--content-type=a,b] | write <n> <outDir> [recordsPerFile]")
       sys.exit(2)
   }
 }

@@ -62,6 +62,94 @@ class WarcToolSpec extends AnyFunSuite {
       new java.io.File(dir, "dup.txt").toPath), UTF_8) == "first body")
   }
 
+  test("extractName: 255-byte clamp counts UTF-8 BYTES at codepoint boundaries") {
+    // 'é' is 2 UTF-8 bytes: 200 of them = 400 bytes, over the limit
+    val long = "é" * 200 + ".txt"
+    val out = WarcTool.extractName(s"https://x.example/$long", None)
+    val bytes = out.getBytes(UTF_8)
+    assert(bytes.length <= 255, s"got ${bytes.length} bytes")
+    assert(out.endsWith(".txt"))
+    // round-trips: no split codepoint (decode-encode is identity)
+    assert(new String(bytes, UTF_8) == out)
+    // 3-byte codepoints near the boundary also clamp cleanly
+    val cjk = "世" * 100 + ".bin"
+    val out2 = WarcTool.extractName(s"https://x.example/$cjk", None)
+    assert(out2.getBytes(UTF_8).length <= 255 && out2.endsWith(".bin"))
+  }
+
+  test("extract: multiple input files under --threads, reference argv semantics") {
+    val dir = Files.createTempDirectory("wt-multi").toString
+    val warcDir = Files.createTempDirectory("wt-multi-warc")
+    def writeWarc(path: String, urls: Seq[(String, String)]): Unit = {
+      val out = new java.io.FileOutputStream(path)
+      val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+      urls.foreach { case (url, body) =>
+        val html = HttpCodec.buildResponse(200, "OK",
+          Seq("Content-Type" -> "text/plain",
+            "Content-Length" -> body.getBytes(UTF_8).length.toString),
+          body.getBytes(UTF_8))
+        w.writeMember(WarcCodec.serialize(
+          graft.sources.WarcIO.pageToRecord(url, new java.sql.Timestamp(1647748545000L), html)))
+      }
+      w.close(); out.close()
+    }
+    val f1 = warcDir.resolve("a.warc.gz").toString
+    val f2 = warcDir.resolve("b.warc.gz").toString
+    writeWarc(f1, (1 to 8).map(i => (s"https://a.example/a$i.txt", s"body-a$i")))
+    writeWarc(f2, (1 to 8).map(i => (s"https://b.example/b$i.txt", s"body-b$i")))
+    WarcTool.main(Array("extract", f1, f2, dir, "--threads=4"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names == ((1 to 8).map(i => s"a$i.txt") ++ (1 to 8).map(i => s"b$i.txt")).toSet)
+    assert(new String(Files.readAllBytes(
+      new java.io.File(dir, "a3.txt").toPath), UTF_8) == "body-a3")
+  }
+
+  test("verify rejects WARC versions outside {1.0, 1.1}") {
+    val dir = Files.createTempDirectory("wt-version")
+    val page = graft.sources.PagesGen.genPage(7L, 100L, 10, 42L)
+    val rec = graft.sources.WarcIO.pageToRecord(page.url, page.warc_ts, page.html)
+    def writeOne(path: String, r: graft.codec.WarcRecord): Unit = {
+      val out = new java.io.FileOutputStream(path)
+      val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+      w.writeMember(WarcCodec.serialize(r)); w.close(); out.close()
+    }
+    val ok = dir.resolve("ok.warc.gz").toString
+    writeOne(ok, rec)
+    assert(WarcTool.verifyFiles(Seq(ok)) == (1, 0))
+    // same record with an out-of-membership version: rejected
+    // (/root/reference/cmd/verify.go:299-307)
+    val old = dir.resolve("old.warc.gz").toString
+    writeOne(old, rec.copy(version = "WARC/0.9"))
+    assert(WarcTool.verifyFiles(Seq(old)) == (1, 1))
+    // and both files in one multi-file scan
+    assert(WarcTool.verifyFiles(Seq(ok, old)) == (2, 1))
+  }
+
+  test("truncated chunked body raises HttpFormatException instead of hanging") {
+    val body = "hello world, this is chunk data".getBytes(UTF_8)
+    val full = HttpCodec.chunkEncode(body, 8)
+    // cut AFTER a complete chunk (data + CRLF) but before the next size
+    // line: the decoder must hit EOF looking for a size line and throw
+    val cut = java.util.Arrays.copyOf(full, "8\r\n".length + 8 + 2)
+    val resp = HttpCodec.buildResponse(200, "OK",
+      Seq("Content-Type" -> "text/plain", "Transfer-Encoding" -> "chunked"), cut)
+    val (_, stream) = HttpCodec.decodedBodyStream(new java.io.ByteArrayInputStream(resp))
+    val ex = intercept[HttpCodec.HttpFormatException] {
+      val buf = new Array[Byte](1024)
+      while (stream.read(buf) != -1) ()
+    }
+    assert(ex.getMessage.contains("EOF before chunk size line"))
+    // EOF mid-chunk still reports the established in-chunk error
+    val cut2 = java.util.Arrays.copyOf(full, "8\r\n".length + 4)
+    val resp2 = HttpCodec.buildResponse(200, "OK",
+      Seq("Content-Type" -> "text/plain", "Transfer-Encoding" -> "chunked"), cut2)
+    val (_, stream2) = HttpCodec.decodedBodyStream(new java.io.ByteArrayInputStream(resp2))
+    intercept[HttpCodec.HttpFormatException] {
+      val buf = new Array[Byte](1024)
+      while (stream2.read(buf) != -1) ()
+    }
+  }
+
   test("verify: payload-digest recheck passes graft archives, catches tampering") {
     val dir = Files.createTempDirectory("wt-verify")
     val good = dir.resolve("good.warc.gz").toString
