@@ -421,14 +421,98 @@ object Queries {
 
     "f08_seen_partitioned" -> ((s, dir) => {
       // partitioned URL-seen filter (SeenStore): per-partition sketches
-      // probed executor-side + exact anti-join fallback ≡ exact anti-join
+      // probed executor-side + exact anti-join fallback ≡ exact anti-join.
+      // Two increments + a compaction put the merged-bank probe path
+      // under the oracle gate, not just the per-increment chain.
       val seenDir = java.nio.file.Files.createTempDirectory("graft-f08-seen").toString
       val store = graft.state.SeenStore(seenDir, graft.state.SeenStore.Config(parts = 8))
       val all = fw(s, dir)
-      store.append(all.filter(col("doc_id") % 3 === 0).select("url_hash"), 0L)
+      store.append(all.filter(col("doc_id") % 6 === 0).select("url_hash"), 0L)
+      store.append(all.filter(col("doc_id") % 6 === 3).select("url_hash"), 1L)
+      store.compact(s)
       store.filterUnseen(all).result
         .select("url_norm", "doc_id")
         .orderBy("url_norm")
+    }),
+
+    "f12_stream_schedule" -> ((s, dir) => {
+      // streaming ≡ batch: the store-backed streaming frontier
+      // (FrontierStream.scheduledBatches) over two deterministic
+      // micro-batches equals the batch seen/schedule semantics, which the
+      // oracle replays in unrolled CTEs. Only SCHEDULED urls enter the
+      // seen store, so a batch-0 budget loser may still schedule in
+      // batch 1 — the deferral semantics, cross-checked here through the
+      // streaming surface.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-f12").toString
+      val p = pagesLite(s, dir).select(col("url"), col("depth"), col("warc_ts"), col("doc_id"))
+      p.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .coalesce(1).write.parquet(s"$tmp/in/b0")
+      p.filter(col("doc_id") % 2 === 1).drop("doc_id")
+        .coalesce(1).write.parquet(s"$tmp/in/b1")
+      // file-source ordering is (mtime, path): pin mtimes so b0 is batch 0
+      for ((sub, ts) <- Seq(("b0", 1000000000000L), ("b1", 1000000600000L)))
+        new java.io.File(s"$tmp/in/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(ts))
+      val politeness = (0 until 7).map(h => (s"host$h.example", 1 + h % 3))
+        .toDF("host", "budget")
+      val stream = s.readStream
+        .schema(p.drop("doc_id").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in/b*")
+      val q = graft.streaming.FrontierStream.scheduledBatches(
+          stream, s"$tmp/seen", s"$tmp/out", Some(politeness),
+          Frontier.Config(defaultBudget = 2, seenParts = 8))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      val batchDirs = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+      batchDirs.map { b =>
+        s.read.parquet(b.getPath)
+          .withColumn("batch", lit(b.getName.stripPrefix("batch-").toInt))
+      }.reduce(_ unionByName _)
+        .select("batch", "url_norm", "host", "depth", "batch_rank")
+        .orderBy("batch", "url_norm")
+    }),
+
+    "f13_cross_round_index" -> ((s, dir) => {
+      // cross-round digest dedup through the persisted BUCKETED index
+      // (state.DigestIndex): round 1's first-captures are written bucketed
+      // on payload_digest; round 2 joins them exchange-free on the index
+      // side and marks matching captures as revisits referencing round 1 —
+      // the reference's crawl-lifetime dedupe map as durable state.
+      val p = pagesLite(s, dir)
+        .withColumn("text2", expr(text2Spark))
+        .withColumn("url_norm", concat(url_normalize(col("url")), lit("?d="), col("doc_id")))
+        .withColumn("payload_digest", sha2(col("text2"), 256))
+        .withColumn("payload_len", length(encode(col("text2"), "UTF-8")).cast("long"))
+      val cfg = Frontier.Config()
+      val ref = graft.state.DigestIndex.Ref("graft_f13_digest_idx",
+        java.nio.file.Files.createTempDirectory("graft-f13-idx").toString, nBuckets = 8)
+      graft.state.DigestIndex.drop(s, ref) // fresh run: drop a stale catalog entry
+      val r1 = Frontier.digestDedup(p.filter(col("doc_id") % 2 === 0), cfg)
+      graft.state.DigestIndex.append(r1, ref, captureTsCol = "warc_ts")
+      val r2 = Frontier.digestDedupWithCdx(p.filter(col("doc_id") % 2 === 1),
+        graft.state.DigestIndex.cdx(s, ref).get, cfg)
+      r2.select("doc_id", "is_revisit", "dedupe_source", "refers_to_url")
+        .orderBy("doc_id")
+    }),
+
+    "f14_discard_hook" -> ((s, dir) => {
+      // pluggable discard hook (P6): predicate-driven rejection with a
+      // typed reason side output (the drop-429s e2e shape,
+      // /root/reference/client_test.go:1029-1110)
+      val p = pagesLite(s, dir).withColumn("status",
+        when(col("doc_id") % 7 === 0, 429)
+          .when(col("doc_id") % 7 === 1, 503)
+          .otherwise(200))
+      val d = Frontier.applyDiscard(p,
+        when(col("status") === 429, lit("too-many-requests"))
+          .when(col("status") >= 500, lit("server-error")))
+      d.rejected.select("doc_id", "discard_reason").orderBy("doc_id")
     }),
 
     // --- dedup (training-data ops) ---------------------------------------
@@ -832,6 +916,78 @@ object Queries {
     "f08_seen_partitioned" ->
       s"""WITH $fwSql
          |SELECT url_norm, doc_id FROM fw WHERE doc_id % 3 <> 0 ORDER BY url_norm""".stripMargin,
+
+    "f12_stream_schedule" ->
+      """WITH p AS (
+        | SELECT doc_id, doc_id % 2 AS par,
+        |  CAST(doc_id % 3 AS INT) AS depth,
+        |  TIMESTAMP '2022-03-20 03:55:45' + INTERVAL ((doc_id * 7) % 100000) SECOND AS warc_ts,
+        |  'https://host' || CAST((doc_id % 89) % 7 AS VARCHAR) || '.example/doc/' || CAST(doc_id % 89 AS VARCHAR) AS url_norm,
+        |  'host' || CAST((doc_id % 89) % 7 AS VARCHAR) || '.example' AS host,
+        |  (doc_id % 89) % 7 AS host_id
+        | FROM documents),
+        |d0 AS (
+        | SELECT * FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY url_norm ORDER BY depth, warc_ts DESC, url_norm) AS rn
+        |  FROM p WHERE par = 0) WHERE rn = 1),
+        |s0 AS (
+        | SELECT * FROM (
+        |  SELECT url_norm, host, depth, warc_ts,
+        |   CAST(row_number() OVER (PARTITION BY host ORDER BY depth, warc_ts DESC, url_norm) AS INT) AS batch_rank,
+        |   1 + host_id % 3 AS budget
+        |  FROM d0) WHERE batch_rank <= budget),
+        |d1 AS (
+        | SELECT * FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY url_norm ORDER BY depth, warc_ts DESC, url_norm) AS rn
+        |  FROM p WHERE par = 1) WHERE rn = 1),
+        |u1 AS (
+        | SELECT d1.* FROM d1 LEFT JOIN s0 ON d1.url_norm = s0.url_norm
+        | WHERE s0.url_norm IS NULL),
+        |s1 AS (
+        | SELECT * FROM (
+        |  SELECT url_norm, host, depth, warc_ts,
+        |   CAST(row_number() OVER (PARTITION BY host ORDER BY depth, warc_ts DESC, url_norm) AS INT) AS batch_rank,
+        |   1 + host_id % 3 AS budget
+        |  FROM u1) WHERE batch_rank <= budget)
+        |SELECT CAST(0 AS INT) AS batch, url_norm, host, depth, batch_rank FROM s0
+        |UNION ALL
+        |SELECT CAST(1 AS INT) AS batch, url_norm, host, depth, batch_rank FROM s1
+        |ORDER BY batch, url_norm""".stripMargin,
+
+    "f13_cross_round_index" ->
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  'https://host' || CAST((doc_id % 89) % 7 AS VARCHAR) || '.example/doc/' || CAST(doc_id % 89 AS VARCHAR) || '?d=' || CAST(doc_id AS VARCHAR) AS u,
+         |  TIMESTAMP '2022-03-20 03:55:45' + INTERVAL ((doc_id * 7) % 100000) SECOND AS warc_ts,
+         |  $text2Duck AS text2
+         | FROM documents),
+         |h AS (SELECT doc_id, u, warc_ts, sha256(text2) AS dg,
+         |       octet_length(encode(text2)) AS len FROM p),
+         |r1 AS (
+         | SELECT doc_id, u, warc_ts, dg, row_number() OVER w AS rn
+         | FROM h WHERE doc_id % 2 = 0 AND len >= 2048 AND len > 0
+         | WINDOW w AS (PARTITION BY dg ORDER BY warc_ts, u)),
+         |idx AS (SELECT dg, u AS uri FROM r1 WHERE rn = 1),
+         |e2 AS (
+         | SELECT doc_id, dg,
+         |  row_number() OVER w AS rn,
+         |  first_value(u) OVER w AS fu
+         | FROM h
+         | WHERE doc_id % 2 = 1 AND len >= 2048 AND len > 0
+         | WINDOW w AS (PARTITION BY dg ORDER BY warc_ts, u)),
+         |h2 AS (SELECT * FROM h WHERE doc_id % 2 = 1)
+         |SELECT h2.doc_id,
+         | CASE WHEN e2.rn > 1 OR (e2.rn = 1 AND idx.dg IS NOT NULL) THEN true ELSE false END AS is_revisit,
+         | CASE WHEN e2.rn > 1 THEN 'local' WHEN e2.rn = 1 AND idx.dg IS NOT NULL THEN 'cdx' END AS dedupe_source,
+         | CASE WHEN e2.rn > 1 THEN e2.fu WHEN e2.rn = 1 AND idx.dg IS NOT NULL THEN idx.uri END AS refers_to_url
+         |FROM h2 LEFT JOIN e2 ON h2.doc_id = e2.doc_id LEFT JOIN idx ON e2.dg = idx.dg
+         |ORDER BY h2.doc_id""".stripMargin,
+
+    "f14_discard_hook" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN 'too-many-requests'
+        |      WHEN doc_id % 7 = 1 THEN 'server-error' END AS discard_reason
+        |FROM documents WHERE doc_id % 7 IN (0, 1) ORDER BY doc_id""".stripMargin,
 
     "f06_host_stats" ->
       s"""WITH p AS ($pSql)

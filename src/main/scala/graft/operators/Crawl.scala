@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions._
-import graft.state.{SeenStore, TableIO}
+import graft.state.{DigestIndex, SeenStore, TableIO}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -129,7 +129,8 @@ object Crawl {
       }
 
     val release = () => {
-      allowed.unpersist(); scheduled.unpersist(); filtered.release()
+      allowed.unpersist(); scheduled.unpersist(); fetched.unpersist()
+      filtered.release()
     }
     RoundOutput(fetched, nextFrontier, newSeen, counters, release)
   }
@@ -150,7 +151,8 @@ object Crawl {
       cfg: Frontier.Config = Frontier.Config(),
       stateDir: Option[String] = None,
       warcDir: Option[String] = None,
-      cdx: Option[DataFrame] = None): CrawlResult = {
+      cdx: Option[DataFrame] = None,
+      digestIndex: Option[DigestIndex.Ref] = None): CrawlResult = {
     import spark.implicits._
 
     val store = stateDir.map(d => SeenStore(d + "/seen",
@@ -185,21 +187,41 @@ object Crawl {
     while (r < startRound + maxRounds && !done) {
       if (frontier.isEmpty) done = true
       else {
+        // cross-round digest dedup: the bucketed index accumulates every
+        // prior round's first-captures (the reference's crawl-lifetime
+        // dedupe map); a static CDX (a real remote archive) unions in
+        val roundCdx = (cdx, digestIndex.flatMap(DigestIndex.cdx(spark, _))) match {
+          case (Some(c), Some(idx)) => Some(c.unionByName(idx))
+          case (c, idx) => c.orElse(idx)
+        }
         val out = round(frontier, seen, web, robots, politeness, cfg,
-          seenStore = store, cdx = cdx)
+          seenStore = store, cdx = roundCdx)
         allCounters :+= out.counters
+        // eager localCheckpoint BEFORE release(): pins exactly this round's
+        // rows (truncated lineage, one compact RDD per round — the minimal
+        // footprint for data this API returns) so the round cache can be
+        // dropped below. The accumulator is then a shallow union of
+        // checkpoint scans, never a chain of full per-round pipelines.
+        val roundFetched = out.fetched.localCheckpoint(true)
         // optional archival sink: the round's captures as rotated WARC
         // (responses + truncated revisit records, K3 semantics)
         warcDir.foreach(d =>
-          graft.sources.WarcIO.writeFetched(out.fetched, s"$d/round-$r"))
+          graft.sources.WarcIO.writeFetched(roundFetched, s"$d/round-$r"))
         allFetched = allFetched match {
-          case None => Some(out.fetched)
-          case Some(prev) => Some(prev.unionByName(out.fetched))
+          case None => Some(roundFetched)
+          case Some(prev) => Some(prev.unionByName(roundFetched))
         }
+        // O(|new|) index growth, like the seen increments
+        digestIndex.foreach(DigestIndex.append(roundFetched, _))
         (store, frontierTable) match {
           case (Some(st), Some(ft)) =>
             TableIO.commitAs(out.nextFrontier, ft, r.toLong, Map("round" -> r.toLong))
             st.append(out.newSeen, r.toLong, out.counters)
+            // periodic log-structured compaction keeps the probe chain O(1)
+            // in rounds (a 1,000-round crawl would otherwise pay 1,000
+            // sketch checks per candidate)
+            if (cfg.seenCompactEvery > 0 && (r + 1) % cfg.seenCompactEvery == 0)
+              st.compact(spark)
             frontier = TableIO.read(spark, ft, Some(r.toLong)).get
           case _ =>
             val seenNext = seen match {
@@ -208,10 +230,15 @@ object Crawl {
             }
             // eager localCheckpoint: truncates the per-round plan lineage
             // (digestDedup's union branches would otherwise double the
-            // logical plan every round) and materializes before release()
+            // logical plan every round) and materializes before release();
+            // re-checkpointing the accumulator each round replaces the
+            // previous checkpoint RDD, so the cached-seen footprint stays
+            // one RDD, not one per round
             seen = Some(seenNext.localCheckpoint(true))
             frontier = out.nextFrontier.localCheckpoint(true)
         }
+        // round caches (allowed/scheduled/fetched) are no longer referenced:
+        // everything downstream reads the checkpoint or durable state
         out.release()
         r += 1
       }

@@ -66,17 +66,27 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     import graft.functions.GraftFunctions.minhash_sig
     val rowsPerBand = numHashes / bands
+    // deliberately NOT cached: at corpus scale (id, text) is the corpus —
+    // the verify joins below re-scan the source for the surviving
+    // candidates instead (callers with a cheap small input can cache
+    // upstream)
     val base = docs
       .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
       .filter(length(col("t")) > 0)
-      .cache()
     val withSig = base.withColumn("sig", minhash_sig(col("t"), k, numHashes))
 
+    // no silent caps: buckets past maxBucket are truncated, and the count
+    // of truncated buckets is observable (queryExecution.observedMetrics
+    // after any action) so a capped run never reads as exhaustive
     val buckets = withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
       .groupBy(col("bk"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"),
+        count(lit(1)).as("__n"))
       .filter(size(col("ids")) > 1)
+      .observe("minhash_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+      .drop("__n")
 
     // within-bucket ordered pairs (a < b), dedup across bands
     val pairs = buckets
@@ -124,8 +134,13 @@ object Dedup {
       .select(col("id"), col("h"), explode(transform(sequence(lit(0), lit(3)), q =>
         struct(q.as("q"), shiftright_dyn(col("h"), q * 16).bitwiseAND(lit(0xffffL)).as("key")))).as("blk"))
       .groupBy(col("blk"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("h")))), 1, maxBucket).as("rows"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("h")))), 1, maxBucket).as("rows"),
+        count(lit(1)).as("__n"))
       .filter(size(col("rows")) > 1)
+      // no silent caps (see minhashPairs)
+      .observe("simhash_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+      .drop("__n")
     blocked
       .select(explode(expr(
         "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.h as h_a, b.h as h_b))))")).as("p"))
@@ -155,17 +170,23 @@ object Dedup {
     * convergence is O(log diameter) joins, not O(diameter): a 10^6-doc
     * duplicate CHAIN converges in ~20 rounds, while the common case
     * (near-clique clusters from LSH pairs) converges in 1-2. Each round is
-    * two shuffles on bounded keys; lineage is cut per round with
-    * localCheckpoint so plans stay flat.
+    * two shuffles on bounded keys and ONE driver action: the convergence
+    * flag rides the jumped rows (`changed = rep != old_rep`) and is read
+    * off the just-cached result — no separate re-join-and-count job.
+    * Lineage is cut with localCheckpoint every `ckptEvery` rounds (plain
+    * persist between) so plans stay flat without paying a full
+    * re-materialization per round.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25, ckptEvery: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
+    var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -173,16 +194,25 @@ object Dedup {
       val nbrMin = edges.join(comp, edges("src") === comp("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("rep")).as("nbr_rep"))
       val stepped = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-      // pointer jump: rep := rep(rep) — halves remaining path lengths
+        .select(col("id"), col("rep").as("old_rep"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // pointer jump: rep := rep(rep) — halves remaining path lengths; the
+      // convergence flag is computed in the SAME pass
       val parents = stepped.select(col("id").as("pid"), col("rep").as("prep"))
-      val jumped = stepped.join(parents, stepped("rep") === parents("pid"), "left")
-        .select(stepped("id"), coalesce(col("prep"), stepped("rep")).as("rep"))
-        .localCheckpoint(true)
-      val changed = jumped.join(comp.withColumnRenamed("rep", "old_rep"), "id")
-        .filter(col("rep") =!= col("old_rep")).limit(1).count()
-      comp = jumped
-      converged = changed == 0
+      val jumped0 = stepped.join(parents, stepped("rep") === parents("pid"), "left")
+        .select(stepped("id"),
+          coalesce(col("prep"), stepped("rep")).as("rep"),
+          (coalesce(col("prep"), stepped("rep")) =!= col("old_rep")).as("changed"))
+      val jumped =
+        if ((i + 1) % ckptEvery == 0) jumped0.localCheckpoint(true)
+        else jumped0.persist(lvl)
+      // the one action of the round: fully materializes the cache (count
+      // scans every partition — isEmpty would stop at the first hit and
+      // leave the cache partial) AND answers "did anything move?"
+      converged = jumped.filter(col("changed")).count() == 0L
+      prev.foreach(_.unpersist())
+      prev = Some(jumped)
+      comp = jumped.drop("changed")
       i += 1
     }
     edges.unpersist()
@@ -208,12 +238,17 @@ object Dedup {
     *
     * Returns (idCol, n_lines, n_dup_lines, text_dedup).
     *
-    * Plan shape at scale: one narrow chunking projection, ONE wide
-    * exchange — the per-line first-wins window keyed on the line text
-    * (each group is exactly the duplicate multiplicity of that line, so
-    * no key carries more rows than its dup count; AQE skew-split covers
-    * boilerplate mega-lines) — then a per-doc groupBy that reuses the
-    * doc-id exchange. Never all-pairs, never a driver-side set.
+    * Plan shape at scale: one narrow chunking projection, then first-wins
+    * as a MIN-AGGREGATE on the line text — map-side partial_min collapses
+    * every occurrence of a line within a map task to one row before the
+    * wire, so a cookie-banner line duplicated 10^8 times costs each task
+    * one row, not one reducer the whole group. (A window over
+    * partitionBy(line) would pin that mega-group to a single task: AQE
+    * skew handling splits JOIN partitions, not window groups.) The keeper
+    * (id, idx) pairs then join back on the UNIQUE (id, idx) key —
+    * uniformly distributed, skew-free by construction — and the final
+    * per-doc groupBy reassembles. Never all-pairs, never a driver-side
+    * set.
     */
   def lineDedup(
       docs: DataFrame,
@@ -230,15 +265,21 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     val exploded = docs
       .select(col(idCol), posexplode(lines).as(Seq("idx", "line")))
-    val w = Window.partitionBy(col("line")).orderBy(col(idCol).asc, col("idx").asc)
+    // globally-first occurrence per distinct line: min(struct) orders by
+    // (id asc, idx asc) — the same total order the window form used
+    val keepers = exploded
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("idx"))).as("f"))
+      .select(col("f").getField(idCol).as(idCol), col("f").getField("idx").as("idx"))
+      .withColumn("__keep", lit(true))
     exploded
-      .withColumn("rn", row_number().over(w))
+      .join(keepers, Seq(idCol, "idx"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_lines"),
-        sum(when(col("rn") > 1, 1).otherwise(0)).cast("int").as("n_dup_lines"),
+        sum(when(col("__keep").isNull, 1).otherwise(0)).cast("int").as("n_dup_lines"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("line"))))),
+          array_sort(collect_list(when(col("__keep"), struct(col("idx"), col("line"))))),
           s => s.getField("line"))).as("text_dedup"))
   }
 
@@ -321,8 +362,13 @@ object Dedup {
     withSig
       .select(col("id"), col("v"), posexplode(col("sigs")).as(Seq("t", "sig")))
       .groupBy(col("t"), col("sig"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("rows"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("rows"),
+        count(lit(1)).as("__n"))
       .filter(size(col("rows")) > 1)
+      // no silent caps (see minhashPairs)
+      .observe("embedding_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+      .drop("__n")
       .select(explode(expr(
         "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.v as v_a, b.v as v_b))))")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),

@@ -35,7 +35,11 @@ object Frontier {
       sizeThreshold: Long = 2048L,
       seenParts: Int = 64,
       seenFpp: Double = 0.01,
-      seenSketch: String = "bloom")
+      seenSketch: String = "bloom",
+      // SeenStore.compact() cadence in crawl rounds: every k-th round the
+      // probe chain collapses back to one bank, keeping the per-candidate
+      // seen probe O(1) in crawl rounds (≤ k banks ever visible). 0 = never.
+      seenCompactEvery: Int = 8)
 
   /** Stage 1 — canonicalize: dirty url → RFC-3986 normal form, host,
     * xxhash64 identity. Runs inside one whole-stage-codegen span (all
@@ -163,6 +167,30 @@ object Frontier {
     df.join(broadcast(robots.withColumnRenamed("body", "__robots_body")), Seq("host"), "left")
       .filter(col("__robots_body").isNull || allowed(col("__robots_body"), col("url_norm")))
       .drop("__robots_body")
+  }
+
+  final case class Discarded(kept: DataFrame, rejected: DataFrame)
+
+  /** Stage 4b — pluggable discard hook (P6): `reason` is any user
+    * expression over the row evaluating to a STRING — null keeps the row,
+    * non-null discards it with that reason
+    * (/root/reference/discard_hook.go:22-27, applied
+    * /root/reference/dialer.go:466-479). Rejected rows flow to a TYPED
+    * side output carrying every original column plus `discard_reason` —
+    * the DiscardHookError{URL, Reason} error-channel analog (e2e shape:
+    * the drop-429s test, /root/reference/client_test.go:1029-1110) — and
+    * both sides expose observable row counters
+    * (`queryExecution.observedMetrics` after any action), the ErrChan
+    * accounting. The predicate stays a Catalyst expression, so pushdown /
+    * codegen apply to the hook exactly as to built-in filters. */
+  def applyDiscard(df: DataFrame, reason: Column): Discarded = {
+    val marked = df.withColumn("__reason", reason)
+    Discarded(
+      kept = marked.filter(col("__reason").isNull).drop("__reason")
+        .observe("discard_kept", count(lit(1)).as("rows")),
+      rejected = marked.filter(col("__reason").isNotNull)
+        .withColumnRenamed("__reason", "discard_reason")
+        .observe("discard_rejected", count(lit(1)).as("rows")))
   }
 
   /** Derive a politeness-budget dim from robots.txt Crawl-delay: a host

@@ -1,0 +1,55 @@
+package graft.state
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Cross-round payload-digest index — the reference's dedupe table
+  * (`sync.Map` keyed by payload digest, alive for the whole crawl,
+  * /root/reference/client.go:107, /root/reference/dialer.go:401-410) as a
+  * persisted BUCKETED table, so every round's dedup join against the
+  * accumulated index is exchange-free on the index side: the shuffle on
+  * `payload_digest` is paid once per round at append, never again at read
+  * (Buckets.scala rationale).
+  *
+  * Shape matches the CDX frame `Frontier.digestDedupWithCdx` consumes:
+  * (payload_digest, target_uri, capture_ts, record_type) — so the same J3
+  * local-then-remote precedence covers both a true remote CDX and this
+  * local cross-round index, exactly like the reference probes its own map
+  * before the CDX server (/root/reference/dialer.go:510-513).
+  */
+object DigestIndex {
+
+  /** table = session-catalog name; path = external parquet location;
+    * nBuckets must stay constant for the table's lifetime. */
+  final case class Ref(table: String, path: String, nBuckets: Int = 32)
+
+  def exists(spark: SparkSession, ref: Ref): Boolean =
+    spark.catalog.tableExists(ref.table)
+
+  /** The index as a digestDedupWithCdx-compatible CDX frame. Reading the
+    * bucketed table carries its partitioning into the plan: the
+    * per-digest last-capture aggregate and the dedup join need NO exchange
+    * on this side. */
+  def cdx(spark: SparkSession, ref: Ref): Option[DataFrame] =
+    if (!exists(spark, ref)) None
+    else Some(spark.table(ref.table))
+
+  /** Append one round's NEW first-captures (non-revisit rows of the
+    * round's deduped output). O(|new|): the existing index files are never
+    * rewritten — saveAsTable(Append) adds bucketed files per bucket key,
+    * exactly the SeenStore increment discipline for digests. */
+  def append(fetched: DataFrame, ref: Ref, captureTsCol: String = "page_ts"): Unit = {
+    val rows = fetched
+      .filter(!col("is_revisit"))
+      .select(
+        col("payload_digest"),
+        col("url_norm").as("target_uri"),
+        col(captureTsCol).as("capture_ts"),
+        lit("response").as("record_type"))
+    val spark = fetched.sparkSession
+    val mode = if (exists(spark, ref)) SaveMode.Append else SaveMode.Overwrite
+    Buckets.save(rows, ref.table, ref.path, "payload_digest", ref.nBuckets, mode)
+  }
+
+  def drop(spark: SparkSession, ref: Ref): Unit = Buckets.drop(spark, ref.table)
+}

@@ -19,7 +19,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *   store.json                       parts / fpp / sketch config (fixed at creation)
   *   inc-<id>/data/seen_part=<p>/…    parquet url_hash increments (append-only)
   *   inc-<id>/sketch/p-<p>.<type>     per-partition sketch blob (bloom | cuckoo)
+  *   compact-<g>/sketch/p-<p>.<type>  merged bank: all increments ≤ upTo in one sketch+sidecar
   *   manifest/inc-<id>.json           commit marker (atomic rename)
+  *   manifest/compact-<g>.json        compaction commit marker {gen, upTo}
   * }}}
   *
   * Scale properties:
@@ -166,6 +168,95 @@ object SeenStore {
         .reduce(_ unionByName _))
     }
 
+    /** Committed compaction generations as (gen, upTo-increment-id) pairs,
+      * ascending by gen. */
+    def compactions: Seq[(Long, Long)] = {
+      val mdir = Paths.get(dir, "manifest")
+      if (!Files.exists(mdir)) return Seq.empty
+      import scala.jdk.CollectionConverters._
+      Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("compact-") && n.endsWith(".json"))
+        .map { n =>
+          val node = mapper.readTree(Files.readAllBytes(mdir.resolve(n)))
+          (node.get("gen").asLong(), node.get("upTo").asLong())
+        }
+        .toSeq.sortBy(_._1)
+    }
+
+    /** The sketch-bank directories a probe over increments `ids` (a
+      * contiguous 0..m prefix) must consult: the newest compaction covering
+      * a prefix of `ids`, plus the increments after it. Increments stay on
+      * disk after compaction, so probes bounded by `maxId` (time travel to
+      * a pre-compaction state) still resolve. */
+    def probeBanks(ids: Seq[Long]): Seq[String] = {
+      if (ids.isEmpty) return Seq.empty
+      val m = ids.last
+      compactions.filter(_._2 <= m).sortBy(c => (c._2, c._1)).lastOption match {
+        case Some((gen, upTo)) =>
+          s"$dir/compact-$gen/sketch" +: ((upTo + 1) to m).map(i => s"$dir/inc-$i/sketch")
+        case None => ids.map(i => s"$dir/inc-$i/sketch")
+      }
+    }
+
+    /** Log-structured compaction: merge every probe-visible bank's
+      * per-partition sorted-hash sidecars (pairwise O(n) merges) into one
+      * bank per partition and rebuild a right-sized sketch over the merged
+      * hashes, executor-side — the driver never sees a hash or a sketch.
+      * After commit, `filterUnseen` probes O(1) banks no matter how many
+      * rounds committed; without this, a 1,000-round crawl pays 1,000
+      * sketch checks per candidate row. The reference's seen map is one
+      * structure, not a probe-per-epoch chain
+      * (/root/reference/dialer.go:401-410) — this restores that shape for
+      * the durable store. Append-only increments are untouched (crash
+      * before the marker leaves an invisible orphan generation; `maxId`
+      * replay still sees per-increment banks). */
+    def compact(spark: SparkSession): Unit = {
+      val ids = committedIds
+      val banks = probeBanks(ids)
+      if (banks.length <= 1) return // already one bank (or empty)
+      val cfg = config
+      val gen = (compactions.map(_._1) :+ -1L).max + 1
+      val outSketchDir = s"$dir/compact-$gen/sketch"
+      val banksArr = banks.toArray
+      val sketchType = cfg.sketch
+      val fpp = cfg.fpp
+      // one row per store partition; each task k-way-merges its partitions
+      spark.range(cfg.parts).selectExpr("cast(id as int) as p")
+        .repartition(col("p"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { row =>
+            val p = row.getInt(0)
+            val merged = banksArr
+              .map(b => SketchBank.loadHashes(s"$b/p-$p.hashes"))
+              .reduce(SketchBank.mergeDedupSorted)
+            val path = new org.apache.hadoop.fs.Path(s"$outSketchDir/p-$p.hashes")
+            val fs = path.getFileSystem(conf)
+            val out = fs.create(path, true)
+            val bb = java.nio.ByteBuffer.allocate(merged.length * 8)
+            merged.foreach(bb.putLong)
+            out.write(bb.array())
+            out.close()
+            val skBytes = SketchBank.buildSketch(merged, sketchType, fpp)
+            val skPath = new org.apache.hadoop.fs.Path(s"$outSketchDir/p-$p.$sketchType")
+            val skOut = fs.create(skPath, true)
+            skOut.write(skBytes)
+            skOut.close()
+          }
+        }
+      // commit marker last (atomic rename = the commit point)
+      val mdir = Paths.get(dir, "manifest")
+      Files.createDirectories(mdir)
+      val json = mapper.createObjectNode()
+      json.put("gen", gen)
+      json.put("upTo", ids.last)
+      json.put("mergedBanks", banks.length)
+      val tmp = mdir.resolve(s".tmp-compact-$gen.json")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(json))
+      Files.move(tmp, mdir.resolve(s"compact-$gen.json"), StandardCopyOption.ATOMIC_MOVE)
+    }
+
     /** Exact unseen filter, as one exchange + one narrow filter: candidates
       * route to their seen-partition, the probe checks the sketch (fast
       * definite-no) and falls through to a binary search of the partition's
@@ -183,7 +274,7 @@ object SeenStore {
       val out = candidates
         .withColumn("__seen_part", pmod(col("url_hash"), lit(cfg.parts)).cast("int"))
         .repartition(col("__seen_part"))
-        .filter(!seenContains(col("__seen_part"), col("url_hash"), dir, ids.length, cfg.parts))
+        .filter(!seenContains(col("__seen_part"), col("url_hash"), probeBanks(ids), cfg.parts))
         .drop("__seen_part")
       Filtered(out, () => ())
     }
@@ -213,8 +304,8 @@ object SeenStore {
     Bridge.column(AggregateExpression(
       CuckooFilterAggregate(Bridge.expression(child), capacity), Complete, isDistinct = false))
 
-  def seenContains(part: Column, hash: Column, dir: String, nInc: Int, parts: Int): Column =
-    Bridge.column(SeenContains(Bridge.expression(part), Bridge.expression(hash), dir, nInc, parts))
+  def seenContains(part: Column, hash: Column, banks: Seq[String], parts: Int): Column =
+    Bridge.column(SeenContains(Bridge.expression(part), Bridge.expression(hash), banks, parts))
 }
 
 /** Builds a [[CuckooFilter]] over a LONG column — same shape as Spark's
@@ -254,9 +345,9 @@ case class CuckooFilterAggregate(
   * lock shared by 32 task threads); the exact arrays load lazily, only for
   * partitions where a sketch ever says maybe. */
 case class SeenContains(left: Expression, right: Expression,
-                        dir: String, nInc: Int, parts: Int)
+                        banks: Seq[String], parts: Int)
     extends BinaryExpression {
-  @transient private lazy val resolver = new SketchResolver(dir, nInc, parts)
+  @transient private lazy val resolver = new SketchResolver(banks.toArray, parts)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullSafeEval(part: Any, hash: Any): Any =
     resolver.contains(part.asInstanceOf[Int], hash.asInstanceOf[Long])
@@ -269,24 +360,27 @@ case class SeenContains(left: Expression, right: Expression,
   override def prettyName: String = "seen_contains"
 }
 
-/** One resolver per probe expression: lazily loads each (increment,
-  * partition) sketch/state blob once per JVM slot, lock-free reads
-  * thereafter. A task only ever touches the partitions routed to it, so
-  * executor memory is O(|seen|/parts × parts-touched), and the driver
-  * holds nothing. */
-final class SketchResolver(dir: String, nInc: Int, parts: Int) extends Serializable {
+/** One resolver per probe expression: lazily loads each (bank, partition)
+  * sketch/state blob once per JVM slot, lock-free reads thereafter. A bank
+  * is a sketch directory — a compacted generation or a post-compaction
+  * increment — so the per-row loop is O(active banks), O(1) after
+  * `Store.compact()`, independent of how many crawl rounds ever committed.
+  * A task only ever touches the partitions routed to it, so executor
+  * memory is O(|seen|/parts × parts-touched), and the driver holds
+  * nothing. */
+final class SketchResolver(banks: Array[String], parts: Int) extends Serializable {
   @transient private lazy val probes =
-    new java.util.concurrent.atomic.AtomicReferenceArray[SketchBank.Probe](nInc * parts)
+    new java.util.concurrent.atomic.AtomicReferenceArray[SketchBank.Probe](banks.length * parts)
   @transient private lazy val exact =
-    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](nInc * parts)
+    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](banks.length * parts)
 
   def contains(part: Int, hash: Long): Boolean = {
     var i = 0
-    while (i < nInc) {
+    while (i < banks.length) {
       val idx = i * parts + part
       var p = probes.get(idx)
       if (p == null) {
-        probes.compareAndSet(idx, null, SketchBank.load(s"$dir/inc-$i/sketch/p-$part"))
+        probes.compareAndSet(idx, null, SketchBank.load(s"${banks(i)}/p-$part"))
         p = probes.get(idx)
       }
       if (p.mightContain(hash)) {
@@ -294,7 +388,7 @@ final class SketchResolver(dir: String, nInc: Int, parts: Int) extends Serializa
         var arr = exact.get(idx)
         if (arr == null) {
           exact.compareAndSet(idx, null,
-            SketchBank.loadHashes(s"$dir/inc-$i/sketch/p-$part.hashes"))
+            SketchBank.loadHashes(s"${banks(i)}/p-$part.hashes"))
           arr = exact.get(idx)
         }
         if (java.util.Arrays.binarySearch(arr, hash) >= 0) return true
@@ -315,6 +409,41 @@ object SketchBank {
   private final class Cuckoo(c: CuckooFilter) extends Probe {
     def mightContain(h: Long): Boolean = c.mightContain(h)
   }
+
+  /** O(n) merge of two sorted arrays, dropping duplicates (increments may
+    * overlap when callers append without filtering first). */
+  private[state] def mergeDedupSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    var last = 0L; var has = false
+    while (i < a.length || j < b.length) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (!has || v != last) { out(k) = v; k += 1; last = v; has = true }
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Serialized right-sized sketch over a merged hash set (compaction
+    * rebuild path — per-increment sketches were sized for their increment,
+    * the merged bank gets one sized for the union). */
+  private[state] def buildSketch(hashes: Array[Long], sketchType: String, fpp: Double): Array[Byte] =
+    sketchType match {
+      case "cuckoo" =>
+        val c = CuckooFilter.create(math.max(64L, hashes.length.toLong))
+        hashes.foreach(c.insert)
+        c.serialize()
+      case _ =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(64L, hashes.length.toLong), fpp)
+        hashes.foreach(bf.putLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+    }
 
   /** Sorted int64 state sidecar; absent file → empty array. */
   private[state] def loadHashes(path: String): Array[Long] = {

@@ -166,6 +166,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L)._2 == 2 && got(2L)._2 == 2 && got(4L)._2 == 1)
   }
 
+  test("line dedup plan: mega-line first-wins is a partial min-aggregate, not a window") {
+    // one boilerplate line duplicated across EVERY doc — the skew trap: a
+    // window over partitionBy(line) would pin all copies to one task
+    val banner = "accept all cookies now"
+    val ds = (0L until 200L).map(id => (id, s"$banner unique tail $id words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(ds, wordsPerLine = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      "first-wins must map-side combine (partial_min) before the exchange")
+    assert(!plan.contains("Window"),
+      "no window operator: window groups cannot be skew-split")
+    // and the mega-line still dedups correctly: only doc 0 keeps it
+    val kept = out.filter(col("text_dedup").contains(banner)).select("doc_id")
+      .as[Long].collect()
+    assert(kept.toSeq == Seq(0L))
+    assert(out.filter(col("n_dup_lines") > 0).count() == 199L)
+  }
+
+  test("no silent caps: truncated buckets are observable") {
+    // 40 identical docs with maxBucket=8 → every band bucket truncates
+    val ds = (0L until 40L).map(id => (id, base)).toDF("doc_id", "text")
+    val out = Dedup.minhashPairs(ds, maxBucket = 8)
+    out.collect()
+    val m = out.queryExecution.observedMetrics
+    assert(m.contains("minhash_buckets"), s"metrics: ${m.keySet}")
+    assert(m("minhash_buckets").getAs[Long]("truncated_buckets") > 0L,
+      "over-cap buckets must be counted, never silently dropped")
+    // an under-cap run reports zero truncation
+    val small = Dedup.minhashPairs(docs, maxBucket = 64)
+    small.collect()
+    assert(small.queryExecution.observedMetrics("minhash_buckets")
+      .getAs[Long]("truncated_buckets") == 0L)
+    // simhash gets the same counter
+    val sh = Dedup.simhashPairs(ds, maxBucket = 8)
+    sh.collect()
+    assert(sh.queryExecution.observedMetrics("simhash_buckets")
+      .getAs[Long]("truncated_buckets") > 0L)
+  }
+
   test("decontaminate: flags docs sharing an n-gram with the eval set, exact hit counts") {
     val n = 5
     val evalTexts = Seq(

@@ -273,6 +273,74 @@ class FrontierSpec extends AnyFunSuite {
       s"all 4 candidates must be fetched across rounds, got $fetchedUrls")
   }
 
+  test("discard hook: typed reasons, exact counters, kept/rejected partition") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("status",
+        when(col("id") % 7 === 0, 429)
+          .when(col("id") % 7 === 1, 503)
+          .otherwise(200))
+    val d = Frontier.applyDiscard(df,
+      when(col("status") === 429, lit("too-many-requests"))
+        .when(col("status") >= 500, lit("server-error")))
+    val rejected = d.rejected.select("id", "discard_reason")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val kept = d.kept.select("id").as[Long].collect().sorted
+    // closed form: 0..999, %7==0 → 143 rows (429), %7==1 → 143 rows (503)
+    assert(rejected.length == 286)
+    assert(kept.length == 714)
+    assert((rejected.map(_._1) ++ kept).sorted.sameElements(0L until 1000L),
+      "kept ∪ rejected must partition the input")
+    rejected.foreach { case (id, reason) =>
+      assert(reason == (if (id % 7 == 0) "too-many-requests" else "server-error"))
+    }
+    // rejected side keeps every original column (typed side output)
+    assert(d.rejected.columns.toSet == Set("id", "status", "discard_reason"))
+    // observable counters (the ErrChan accounting) — metrics populate on
+    // the executed Dataset's own queryExecution
+    d.kept.collect()
+    d.rejected.collect()
+    assert(d.kept.queryExecution.observedMetrics("discard_kept")
+      .getAs[Long]("rows") == 714L)
+    assert(d.rejected.queryExecution.observedMetrics("discard_rejected")
+      .getAs[Long]("rows") == 286L)
+  }
+
+  test("crawl with durable state: flat cache profile + bounded seen-probe chain over 10 rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-mem").toString
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val res = Crawl.crawl(spark, web, seeds, 10, None, Some(politenessDf),
+      cfg.copy(seenCompactEvery = 4), Some(dir))
+    val rounds = res.rounds.length
+    assert(rounds >= 10, s"web must sustain 10 rounds, got $rounds")
+    // round caches (allowed/scheduled/fetched + SeenStore increments) must
+    // all be released; unpersist is async, so poll until settled
+    var leftover = Seq.empty[org.apache.spark.rdd.RDD[_]]
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      leftover = sc.getPersistentRDDs.toSeq.collect {
+        case (id, rdd) if !before.contains(id) && !rdd.isCheckpointed => rdd
+      }
+      if (leftover.isEmpty) settled = true else { System.gc(); Thread.sleep(200) }
+    }
+    assert(leftover.isEmpty,
+      s"round caches must be released after each round, leftover: ${leftover.map(_.name)}")
+    // the only retained RDDs are the per-round result checkpoints — the
+    // data crawl() returns — exactly one per round, so a 50-round crawl
+    // holds 50 compact row sets, not 50 full cached pipelines
+    val ckpts = sc.getPersistentRDDs.count {
+      case (id, rdd) => !before.contains(id) && rdd.isCheckpointed
+    }
+    assert(ckpts == rounds, s"expected $rounds result checkpoints, got $ckpts")
+    // periodic compaction keeps the probe chain O(1) in rounds: at cadence
+    // 4 at most 4 banks (1 compacted + ≤3 fresh) are ever probe-visible
+    val store = graft.state.SeenStore(dir + "/seen")
+    val banks = store.probeBanks(store.committedIds).length
+    assert(banks <= 4, s"probe chain must stay bounded by the cadence, got $banks banks")
+    assert(res.allFetched.count() > 0)
+  }
+
   test("crawl counters: revisits and byte sums are deterministic") {
     val res = Crawl.crawl(spark, web, seeds, 2,
       Some(robotsDf), Some(politenessDf), cfg)

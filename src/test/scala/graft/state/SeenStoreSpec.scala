@@ -85,6 +85,66 @@ class SeenStoreSpec extends AnyFunSuite {
     f.release()
   }
 
+  test("compact: 20 increments merge to one probe bank, filterUnseen unchanged") {
+    for (sketch <- Seq("bloom", "cuckoo")) {
+      val dir = Files.createTempDirectory(s"graft-seen-compact-$sketch").toString
+      val store = SeenStore(dir, SeenStore.Config(parts = 4, sketch = sketch))
+      // 20 rounds of 150 urls each, with deliberate overlap between rounds
+      (0 until 20).foreach { i =>
+        store.append(
+          spark.range(i * 100, i * 100 + 150).select(xxhash64(col("id")).as("url_hash")), i)
+      }
+      val cand = spark.range(0, 4000).select(xxhash64(col("id")).as("url_hash"))
+      val before = store.filterUnseen(cand).result.as[Long].collect().sorted
+      assert(store.probeBanks(store.committedIds).length == 20)
+
+      store.compact(spark)
+      // probe-visible bank count is O(1) regardless of round count
+      assert(store.probeBanks(store.committedIds).length == 1,
+        "compaction must collapse the probe chain to one bank")
+      val after = store.filterUnseen(cand).result.as[Long].collect().sorted
+      assert(after.sameElements(before), "compaction must not change filter results")
+      // seen = 0..2049 (last round covers 1900..2049) → 4000-2050 unseen
+      assert(after.length == 4000 - 2050)
+
+      // appends after compaction stack on top of the compacted bank
+      store.append(spark.range(5000, 5100).select(xxhash64(col("id")).as("url_hash")), 20L)
+      assert(store.probeBanks(store.committedIds).length == 2)
+      val cand2 = spark.range(4990, 5010).select(xxhash64(col("id")).as("url_hash"))
+      assert(store.filterUnseen(cand2).result.count() == 10L)
+
+      // maxId time travel to a pre-compaction state still resolves
+      // (per-increment banks are retained)
+      val tt = store.filterUnseen(
+        spark.range(0, 300).select(xxhash64(col("id")).as("url_hash")), maxId = Some(0L))
+      assert(tt.result.count() == 150L, "maxId=0 must see only increment 0")
+
+      // a second compaction folds the new increment in
+      store.compact(spark)
+      assert(store.probeBanks(store.committedIds).length == 1)
+      assert(store.filterUnseen(cand2).result.count() == 10L)
+    }
+  }
+
+  test("compact crash before marker is invisible; replay commits cleanly") {
+    val dir = Files.createTempDirectory("graft-seen-compact-crash").toString
+    val store = SeenStore(dir, SeenStore.Config(parts = 4))
+    (0 until 3).foreach { i =>
+      store.append(spark.range(i * 100, i * 100 + 100)
+        .select(xxhash64(col("id")).as("url_hash")), i)
+    }
+    store.compact(spark)
+    // simulate a crash: delete the marker, leaving the orphan generation dir
+    Files.delete(java.nio.file.Paths.get(dir, "manifest", "compact-0.json"))
+    assert(store.compactions.isEmpty, "uncommitted compaction must be invisible")
+    assert(store.probeBanks(store.committedIds).length == 3)
+    // replay writes a fresh generation over/past the orphan
+    store.compact(spark)
+    assert(store.probeBanks(store.committedIds).length == 1)
+    val cand = spark.range(0, 600).select(xxhash64(col("id")).as("url_hash"))
+    assert(store.filterUnseen(cand).result.count() == 300L)
+  }
+
   test("probe plan: sketch probe is codegen'd, no bloom bytes cross the driver") {
     val dir = Files.createTempDirectory("graft-seen-plan").toString
     val store = SeenStore(dir, SeenStore.Config(parts = 4))
