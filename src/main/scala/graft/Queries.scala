@@ -566,10 +566,15 @@ object Queries {
       // duplicate cluster (the "keep one" step). Planted clusters form
       // cliques, so the expected components are closed-form in SQL; chain
       // convergence (beyond what LSH cliques exercise) is in DedupSpec.
+      // The planted-docs restriction is pushed BELOW the LSH pipeline
+      // (Catalyst can't push a filter through bucketing + pair explode):
+      // pairs where both ends are planted are exactly the pairs among
+      // planted docs, so signatures are only computed for them — d02
+      // covers the full-corpus pair generation.
       val pairs = Dedup.minhashPairs(
-        t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
+        t(s, dir, "documents").withColumn("text2", expr(text2Spark))
+          .filter(col("doc_id") % 11 < 3),
         textCol = "text2", k = 3, numHashes = 64, bands = 16, threshold = 0.8)
-        .filter(col("id_a") % 11 < 3 && col("id_b") % 11 < 3)
       Dedup.duplicateClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_rep"))
         .orderBy("doc_id")

@@ -172,17 +172,26 @@ object Dedup {
     * (near-clique clusters from LSH pairs) converges in 1-2. Each round is
     * two shuffles on bounded keys and ONE driver action: the convergence
     * flag rides the jumped rows (`changed = rep != old_rep`) and is read
-    * off the just-cached result — no separate re-join-and-count job.
-    * Lineage is cut with localCheckpoint every `ckptEvery` rounds (plain
-    * persist between) so plans stay flat without paying a full
-    * re-materialization per round.
+    * off the just-materialized result — no separate re-join-and-count job.
+    * Both the edge set and each round's result are eagerly
+    * locally-checkpointed, not merely persisted: persist caches DATA but
+    * leaves the LOGICAL plan intact, so every iteration would re-analyze
+    * the full upstream candidate-generation tree (the LSH pipeline) plus
+    * a lineage that triples per round — checkpointing replaces both with
+    * leaf scans, keeping per-round driver planning O(1).
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25, ckptEvery: Int = 3): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25, ckptEvery: Int = 1): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the symmetric-edge union references `pairs` twice; materialize the
+    // (small) pair list once so an expensive candidate-generation plan
+    // (LSH + verify joins) is never evaluated per branch
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+    p0.count()
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(lvl)
+      .localCheckpoint(true)
+    p0.unpersist()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
@@ -193,9 +202,12 @@ object Dedup {
       // neighbor-min: the smallest rep among self and direct neighbors
       val nbrMin = edges.join(comp, edges("src") === comp("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("rep")).as("nbr_rep"))
+      // cached: stepped feeds BOTH sides of the jump self-join below —
+      // uncached it would evaluate its join+agg twice per iteration
       val stepped = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
         .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist(lvl)
       // pointer jump: rep := rep(rep) — halves remaining path lengths; the
       // convergence flag is computed in the SAME pass
       val parents = stepped.select(col("id").as("pid"), col("rep").as("prep"))
@@ -209,13 +221,16 @@ object Dedup {
       // the one action of the round: fully materializes the cache (count
       // scans every partition — isEmpty would stop at the first hit and
       // leave the cache partial) AND answers "did anything move?"
+      val t0dbg = System.nanoTime()
       converged = jumped.filter(col("changed")).count() == 0L
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(f"CCITER $i ${(System.nanoTime() - t0dbg) / 1e9}%.2f s converged=$converged")
+      stepped.unpersist()
       prev.foreach(_.unpersist())
       prev = Some(jumped)
       comp = jumped.drop("changed")
       i += 1
     }
-    edges.unpersist()
     comp.select(col("id"), col("rep").as("cluster_rep"))
   }
 

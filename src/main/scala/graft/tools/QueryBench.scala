@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Time a subset of SparkEntry queries in isolation:
+  * `runMain graft.tools.QueryBench <sfDir> <query>[,<query>...] [passes]`.
+  * One warmup at sf0.001 per query, then `passes` timed passes at sfDir
+  * (all reported; compare medians — this VM's run-to-run variance is
+  * large). */
+object QueryBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        (s, n)
+      }
+      val med = times.map(_._1).sorted.apply(times.length / 2)
+      println(f"QUERY $name rows=${times.head._2} median=$med%.2f all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
