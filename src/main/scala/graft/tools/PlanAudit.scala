@@ -34,8 +34,12 @@ object PlanAudit {
       q("f04_politeness_schedule"))
 
     section("f08_seen_partitioned",
-      "ONE exchange on __seen_part + narrow codegen seen_contains filter; NO bloom subquery, NO join, NO driver-side sketch",
+      "ONE exchange on __seen_part + narrow codegen seen_contains filter; NO bloom subquery, NO join, NO driver-side sketch (probe now runs over the COMPACTED single bank)",
       q("f08_seen_partitioned"))
+
+    section("f13_cross_round_index",
+      "the cross-round digest index side is a BUCKETED scan: last-capture aggregate + dedup join with NO exchange above the index scan (candidates side exchanges once on payload_digest)",
+      q("f13_cross_round_index"))
 
     section("f09_cdx_dedup",
       "local first-wins window + ONE left join against the aggregated CDX last-capture dim; exemptions as codegen filters",
@@ -70,7 +74,7 @@ object PlanAudit {
       q("m02_media_transform"))
 
     section("d06_line_dedup",
-      "narrow chunking projection, ONE wide exchange (per-line first-wins window), per-doc re-aggregate; no all-pairs",
+      "narrow chunking projection; first-wins as partial_min aggregate on the line (map-side combine collapses mega-lines; NO Window — window groups can't be skew-split); keeper join back on the UNIQUE (doc,idx) key; per-doc re-aggregate",
       q("d06_line_dedup"))
 
     section("d07_decontam",
