@@ -501,6 +501,41 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "f15_recrawl_asof" -> ((s, dir) => {
+      // staleness-driven recrawl scheduling: for each url the latest
+      // capture at-or-before the probe time via the distributed AS-OF
+      // join (union + tag + ONE ordered window — no join expansion), then
+      // stale = never captured or captured before probe - maxAge. DuckDB
+      // replays it with its native ASOF LEFT JOIN.
+      val canon = Frontier.canonicalize(pagesLite(s, dir))
+      val captures = canon.select(col("url_norm"),
+        col("warc_ts").as("capture_ts"), col("doc_id").as("last_doc"))
+      val probes = canon.select("url_norm").distinct()
+        .withColumn("probe_ts", expr("TIMESTAMP '2022-03-20 17:00:00'"))
+      AsOf.recrawlCandidates(probes, captures, maxAgeSec = 8 * 3600)
+        .select(col("url_norm"), col("last_doc"),
+          col("asof_capture_ts").as("last_ts"), col("stale"))
+        .orderBy("url_norm")
+    }),
+
+    "f16_url_surt" -> ((s, dir) =>
+      // SURT keys (the real-CDX sort order): host labels reversed so one
+      // host — and one domain subtree — is a contiguous key range
+      pagesLite(s, dir)
+        .select(col("doc_id"), url_surt(col("url")).as("surt"))
+        .orderBy("doc_id")),
+
+    "d08_stratified_sample" -> ((s, dir) =>
+      // deterministic per-language mixing: keep-rate by stratum, survival
+      // decided by a pure (id, salt) hash — reproducible across engines,
+      // partitionings and runs (DataFrame.sample is none of those)
+      Mixing.stratifiedSample(
+        t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.25, "de" -> 0.125, "fr" -> 0.0),
+        idCol = "doc_id", salt = "mix1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "f14_discard_hook" -> ((s, dir) => {
       // pluggable discard hook (P6): predicate-driven rejection with a
       // typed reason side output (the drop-429s e2e shape,
@@ -607,6 +642,16 @@ object Queries {
     "t01_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"))
         .select("doc_id", "n_chars_m", "alpha_chars", "digit_chars", "punct_chars", "n_tokens")
+        .orderBy("doc_id")),
+
+    "t10_gopher_rules" -> ((s, dir) =>
+      // word-level Gopher rules (mean word length, alpha-word fraction,
+      // symbol-to-word ratio); symbols planted deterministically since the
+      // synthetic corpus has none of its own
+      TextAnalysis.gopherRules(
+        t(s, dir, "documents").withColumn("text3",
+          expr("concat(text, CASE WHEN doc_id % 4 = 0 THEN ' ### x... y...' WHEN doc_id % 4 = 1 THEN ' #t #u' ELSE '' END)")),
+        textCol = "text3")
         .orderBy("doc_id")),
 
     "t02_lang_tokens" -> ((s, dir) =>
@@ -993,6 +1038,47 @@ object Queries {
         | CASE WHEN doc_id % 7 = 0 THEN 'too-many-requests'
         |      WHEN doc_id % 7 = 1 THEN 'server-error' END AS discard_reason
         |FROM documents WHERE doc_id % 7 IN (0, 1) ORDER BY doc_id""".stripMargin,
+
+    "f15_recrawl_asof" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  'https://host' || CAST((doc_id % 89) % 7 AS VARCHAR) || '.example/doc/' || CAST(doc_id % 89 AS VARCHAR) AS url_norm,
+        |  TIMESTAMP '2022-03-20 03:55:45' + INTERVAL ((doc_id * 7) % 100000) SECOND AS warc_ts
+        | FROM documents),
+        |probes AS (SELECT DISTINCT url_norm, TIMESTAMP '2022-03-20 17:00:00' AS probe_ts FROM p)
+        |SELECT pr.url_norm, c.doc_id AS last_doc, c.warc_ts AS last_ts,
+        | (c.doc_id IS NULL OR c.warc_ts < TIMESTAMP '2022-03-20 09:00:00') AS stale
+        |FROM probes pr ASOF LEFT JOIN p c
+        | ON pr.url_norm = c.url_norm AND pr.probe_ts >= c.warc_ts
+        |ORDER BY pr.url_norm""".stripMargin,
+
+    "f16_url_surt" ->
+      """SELECT doc_id,
+        | 'example,host' || CAST((doc_id % 89) % 7 AS VARCHAR) || ')/doc/' || CAST(doc_id % 89 AS VARCHAR) AS surt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d08_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8))::UBIGINT <
+        | CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 4294967296
+        |           WHEN 'es' THEN 1073741824 WHEN 'de' THEN 536870912 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "t10_gopher_rules" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || CASE WHEN doc_id % 4 = 0 THEN ' ### x... y...'
+        |               WHEN doc_id % 4 = 1 THEN ' #t #u' ELSE '' END AS t
+        | FROM documents),
+        |w AS (SELECT doc_id, t,
+        |  list_filter(string_split_regex(trim(t), '\s+'), x -> length(x) > 0) AS ws
+        | FROM d)
+        |SELECT doc_id,
+        | CAST(len(ws) AS INT) AS n_words,
+        | CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        | CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS alpha_word_frac,
+        | ((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3) / CAST(len(ws) AS DOUBLE) AS symbol_word_ratio
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "f06_host_stats" ->
       s"""WITH p AS ($pSql)

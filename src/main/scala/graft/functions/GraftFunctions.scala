@@ -336,6 +336,27 @@ object GraftFunctions {
   def url_normalize(c: Column): Column = col(UrlNormalize(expr(c)))
   def url_host(c: Column): Column = col(UrlHost(expr(c)))
   def url_is_valid(c: Column): Column = col(UrlIsValid(expr(c)))
+
+  /** SURT (Sort-friendly URI Reordering Transform) key — the canonical key
+    * real web-archive CDX indexes sort by: host labels reversed and
+    * comma-joined, `)`, then path (+ query). `https://www.Example.com/a/b`
+    * → `com,example,www)/a/b`. Composed from the RFC-3986 normalizer (so
+    * scheme/port/dot-segment/fragment handling is shared) + codegen'd
+    * built-ins — urls with one host sort adjacently, and a host's whole
+    * subtree is one contiguous key range (the layout CDX range scans and
+    * per-domain partition pruning rely on). */
+  def url_surt(c: Column): Column = {
+    import org.apache.spark.sql.functions.{array_join, concat, lit, regexp_extract, reverse, split, when}
+    val norm = url_normalize(c)
+    val host = url_host(norm)
+    val path = regexp_extract(norm, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(norm, "\\?([^#]*)", 1)
+    concat(
+      array_join(reverse(split(host, "\\.")), ","),
+      lit(")"),
+      when(path === "", lit("/")).otherwise(path),
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
   def sha1_base32(c: Column): Column = col(Sha1Base32(expr(c)))
   def sha256_base32(c: Column): Column = col(Sha256Base32(expr(c)))
   def gunzip(c: Column): Column = col(GunzipExpr(expr(c)))

@@ -190,7 +190,12 @@ object Crawl {
         // cross-round digest dedup: the bucketed index accumulates every
         // prior round's first-captures (the reference's crawl-lifetime
         // dedupe map); a static CDX (a real remote archive) unions in
-        val roundCdx = (cdx, digestIndex.flatMap(DigestIndex.cdx(spark, _))) match {
+        // with an index configured, round 0 (nothing appended yet) still
+        // runs the SAME dedup-with-cdx plan over an empty frame, so every
+        // round's output schema is identical (the accumulator unions them)
+        val idxCdx = digestIndex.map(r =>
+          DigestIndex.cdx(spark, r).getOrElse(DigestIndex.emptyCdx(spark)))
+        val roundCdx = (cdx, idxCdx) match {
           case (Some(c), Some(idx)) => Some(c.unionByName(idx))
           case (c, idx) => c.orElse(idx)
         }

@@ -45,6 +45,29 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
 
+  /** Gopher/MassiveText-style word-level quality rules beyond the raw
+    * character counts above: per doc — word count, mean word length,
+    * fraction of words containing an alphabetic character, and
+    * symbol-to-word ratio (`#` + `...` occurrences over words). All exact
+    * integer counts with one double division at the end (bitwise
+    * oracle-comparable); a single narrow projection, no shuffle. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val sumLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val hashCount = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipsisCount = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    docs.select(
+      col(idCol),
+      nWords.cast("int").as("n_words"),
+      (sumLen.cast("double") / nWords.cast("double")).as("mean_word_len"),
+      (nAlpha.cast("double") / nWords.cast("double")).as("alpha_word_frac"),
+      ((hashCount + ellipsisCount).cast("double") / nWords.cast("double")).as("symbol_word_ratio"))
+  }
+
   // --- Language identification (n-gram / stopword heuristic) --------------
 
   /** Stopword tables per language (matches PagesGen's generator so the

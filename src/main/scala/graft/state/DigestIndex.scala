@@ -51,5 +51,17 @@ object DigestIndex {
     Buckets.save(rows, ref.table, ref.path, "payload_digest", ref.nBuckets, mode)
   }
 
+  /** Zero-row CDX frame with the index schema — lets a crawl's FIRST round
+    * run the same digestDedupWithCdx plan (stable output schema) before
+    * anything has been appended. */
+  def emptyCdx(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("payload_digest", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("target_uri", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("capture_ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("record_type", org.apache.spark.sql.types.StringType))))
+
   def drop(spark: SparkSession, ref: Ref): Unit = Buckets.drop(spark, ref.table)
 }

@@ -34,8 +34,14 @@ object CrawlTool {
       .toDF("host", "body")
     val cfg = Frontier.Config(defaultBudget = 8, saltBuckets = 8, sizeThreshold = 100)
     val politeness = Frontier.budgetsFromRobots(robots, windowSec = 30.0, cfg)
+    // cross-round digest dedup through the persisted bucketed index: a
+    // page whose payload matched an EARLIER round's capture becomes a
+    // revisit referencing it (the reference's crawl-lifetime dedupe map)
+    val didx = graft.state.DigestIndex.Ref("graft_pipeline_didx", s"$workDir/didx", nBuckets = cores)
+    graft.state.DigestIndex.drop(spark, didx)
     val res = Crawl.crawl(spark, web, PagesGen.seeds(nPages, 200, nHosts, 42L), 2,
-      robots = Some(robots), politeness = Some(politeness), cfg = cfg)
+      robots = Some(robots), politeness = Some(politeness), cfg = cfg,
+      digestIndex = Some(didx))
     res.rounds.zipWithIndex.foreach { case (c, i) =>
       println(s"round $i: " + c.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
