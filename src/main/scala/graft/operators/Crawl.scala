@@ -225,8 +225,10 @@ object Crawl {
             // periodic log-structured compaction keeps the probe chain O(1)
             // in rounds (a 1,000-round crawl would otherwise pay 1,000
             // sketch checks per candidate)
-            if (cfg.seenCompactEvery > 0 && (r + 1) % cfg.seenCompactEvery == 0)
+            if (cfg.seenCompactEvery > 0 && (r + 1) % cfg.seenCompactEvery == 0) {
               st.compact(spark)
+              st.gc() // drop the superseded generation's blobs
+            }
             frontier = TableIO.read(spark, ft, Some(r.toLong)).get
           case _ =>
             val seenNext = seen match {

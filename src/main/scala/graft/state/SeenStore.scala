@@ -257,6 +257,29 @@ object SeenStore {
       Files.move(tmp, mdir.resolve(s"compact-$gen.json"), StandardCopyOption.ATOMIC_MOVE)
     }
 
+    /** Reclaim superseded compaction generations: every committed
+      * generation except the newest is deleted (marker first, then the
+      * data — a crash between the two leaves an invisible orphan dir).
+      * Safe by construction: `probeBanks` only ever prefers the NEWEST
+      * covering generation, and `maxId` time travel falls back to the
+      * retained per-increment banks when no committed generation covers
+      * the requested prefix. Storage after gc: increments (the durable
+      * log) + one merged bank. */
+    def gc(): Unit = {
+      val gens = compactions
+      if (gens.length <= 1) return
+      val keep = gens.maxBy(c => (c._2, c._1))._1
+      val mdir = Paths.get(dir, "manifest")
+      gens.filter(_._1 != keep).foreach { case (g, _) =>
+        Files.deleteIfExists(mdir.resolve(s"compact-$g.json"))
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(s"$dir/compact-$g"))
+      }
+    }
+
     /** Exact unseen filter, as one exchange + one narrow filter: candidates
       * route to their seen-partition, the probe checks the sketch (fast
       * definite-no) and falls through to a binary search of the partition's

@@ -308,6 +308,7 @@ class FrontierSpec extends AnyFunSuite {
   test("crawl with durable state: flat cache profile + bounded seen-probe chain over 10 rounds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawl-mem").toString
     val sc = spark.sparkContext
+    web.count() // materialize the suite fixture's cache BEFORE the baseline
     val before = sc.getPersistentRDDs.keySet
     val res = Crawl.crawl(spark, web, seeds, 10, None, Some(politenessDf),
       cfg.copy(seenCompactEvery = 4), Some(dir))

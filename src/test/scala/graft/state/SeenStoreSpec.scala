@@ -126,6 +126,32 @@ class SeenStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("gc drops superseded generations; probes and time travel survive") {
+    val dir = Files.createTempDirectory("graft-seen-gc").toString
+    val store = SeenStore(dir, SeenStore.Config(parts = 4))
+    (0 until 4).foreach { i =>
+      store.append(spark.range(i * 100, i * 100 + 100)
+        .select(xxhash64(col("id")).as("url_hash")), i)
+    }
+    store.compact(spark) // gen 0 covers 0..3
+    (4 until 6).foreach { i =>
+      store.append(spark.range(i * 100, i * 100 + 100)
+        .select(xxhash64(col("id")).as("url_hash")), i)
+    }
+    store.compact(spark) // gen 1 covers 0..5
+    assert(store.compactions.map(_._1) == Seq(0L, 1L))
+    store.gc()
+    assert(store.compactions.map(_._1) == Seq(1L), "only the newest generation survives")
+    assert(!new java.io.File(s"$dir/compact-0").exists(), "superseded blobs deleted")
+    val cand = spark.range(0, 800).select(xxhash64(col("id")).as("url_hash"))
+    assert(store.filterUnseen(cand).result.count() == 200L) // 600..799 unseen
+    // time travel below the surviving generation's coverage: falls back to
+    // the retained per-increment banks
+    val tt = store.filterUnseen(cand, maxId = Some(1L))
+    assert(store.probeBanks(store.committedIds.filter(_ <= 1L)).length == 2)
+    assert(tt.result.count() == 600L) // only 0..199 seen at inc ≤ 1
+  }
+
   test("compact crash before marker is invisible; replay commits cleanly") {
     val dir = Files.createTempDirectory("graft-seen-compact-crash").toString
     val store = SeenStore(dir, SeenStore.Config(parts = 4))
