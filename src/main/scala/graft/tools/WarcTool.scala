@@ -91,64 +91,108 @@ object WarcTool {
     md.digest()
   }
 
-  /** Verify all records of `files`; returns (records checked, failures).
+  final case class VerifyReport(file: String, valid: Boolean, errors: Int,
+                                count: Int, allRecordsRead: Boolean)
+
+  /** Per-record checks; returns the error count (0 = clean). */
+  private def verifyRecord(r: graft.codec.SpooledWarcRecord,
+                           quiet: Boolean): Int = {
+    // version membership (/root/reference/cmd/verify.go:299-307):
+    // only WARC/1.0 and WARC/1.1 are valid; anything else fails
+    val versionOk = r.version == "WARC/1.0" || r.version == "WARC/1.1"
+    val blockOk = r.blockDigest.isEmpty || r.blockDigest == r.computedBlockDigest
+    // payload-digest check (/root/reference/cmd/verify.go:167-252):
+    // re-parse HTTP, recompute over the decoded body, dispatch on the
+    // stored sha1:/sha256: prefix; records whose body was transformed by
+    // the crawler (X-Crawler-*-Encoding) can't be re-verified and count
+    // as failures
+    val stored = r.headers.getOrElse("WARC-Payload-Digest", "")
+    val payloadOk =
+      if (stored.isEmpty || r.warcType == "revisit" ||
+          !r.headers.getOrElse("Content-Type", "").contains("msgtype=response")) true
+      else try {
+        val (msg, body) = HttpCodec.decodedBodyStream(r.payload.inputStream())
+        if (msg.headers.exists(_._1.toLowerCase.startsWith("x-crawler-"))) false
+        else stored.split(":", 2) match {
+          case Array("sha1", d) => d == Digests.base32(streamDigest(body, "SHA-1"))
+          case Array("sha256", d) => d == Digests.base32(streamDigest(body, "SHA-256"))
+          case _ => false
+        }
+      } catch { case _: Exception => false }
+    if (!quiet) {
+      val state =
+        if (!versionOk) s"BAD-VERSION ${r.version}"
+        else if (blockOk && payloadOk) "OK"
+        else if (!blockOk) s"BLOCK-MISMATCH ${r.computedBlockDigest} != ${r.blockDigest}"
+        else "PAYLOAD-MISMATCH"
+      println(f"${r.warcType}%-10s cl=${r.contentLength}%-8d digest=$state uri=${r.targetUri}")
+    }
+    Seq(versionOk, blockOk, payloadOk).count(_ == false)
+  }
+
+  /** Verify every record of every file, `threads` records in flight per
+    * file (the reference's worker pool, /root/reference/cmd/verify.go:66).
     * Bounded-memory scan (the reference's spooledtempfile shape,
     * /root/reference/pkg/spooledtempfile/spooled.go): payloads spool to
     * disk past 1 MB, the block digest accumulates during the scan, and
-    * the payload digest streams through the HTTP decode — a record
-    * larger than the heap (or the 2 GB array cap) verifies fine. */
-  private[tools] def verifyFiles(files: Seq[String]): (Int, Int) = {
-      var total = 0
-      var bad = 0
-      files.foreach { f =>
-        val in = open(f)
-        try {
-          var rec = WarcCodec.readRecordSpooled(in)
-          while (rec.isDefined) {
-            val r = rec.get
-            total += 1
-            // version membership (/root/reference/cmd/verify.go:299-307):
-            // only WARC/1.0 and WARC/1.1 are valid; anything else fails
-            val versionOk = r.version == "WARC/1.0" || r.version == "WARC/1.1"
-            val blockOk = r.blockDigest.isEmpty || r.blockDigest == r.computedBlockDigest
-            // payload-digest check (/root/reference/cmd/verify.go:167-252):
-            // re-parse HTTP, recompute over the decoded body, dispatch on
-            // the stored sha1:/sha256: prefix; records whose body was
-            // transformed by the crawler (X-Crawler-*-Encoding) can't be
-            // re-verified and count as failures
-            val stored = r.headers.getOrElse("WARC-Payload-Digest", "")
-            val payloadOk =
-              if (stored.isEmpty || r.warcType == "revisit" ||
-                  !r.headers.getOrElse("Content-Type", "").contains("msgtype=response")) true
-              else try {
-                val (msg, body) = HttpCodec.decodedBodyStream(r.payload.inputStream())
-                if (msg.headers.exists(_._1.toLowerCase.startsWith("x-crawler-"))) false
-                else stored.split(":", 2) match {
-                  case Array("sha1", d) => d == Digests.base32(streamDigest(body, "SHA-1"))
-                  case Array("sha256", d) => d == Digests.base32(streamDigest(body, "SHA-256"))
-                  case _ => false
-                }
-              } catch { case _: Exception => false }
-            if (!blockOk || !payloadOk || !versionOk) bad += 1
-            val state =
-              if (!versionOk) s"BAD-VERSION ${r.version}"
-              else if (blockOk && payloadOk) "OK"
-              else if (!blockOk) s"BLOCK-MISMATCH ${r.computedBlockDigest} != ${r.blockDigest}"
-              else "PAYLOAD-MISMATCH"
-            println(f"${r.warcType}%-10s cl=${r.contentLength}%-8d digest=$state uri=${r.targetUri}")
-            r.payload.close()
-            rec = WarcCodec.readRecordSpooled(in)
-          }
-        } finally in.close()
+    * the payload digest streams through the HTTP decode — a record larger
+    * than the heap (or the 2 GB array cap) verifies fine. */
+  private[tools] def verifyReports(files: Seq[String], threads: Int = 1,
+                                   quiet: Boolean = false): Seq[VerifyReport] =
+    files.map { f =>
+      val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+      var count = 0
+      var allRead = false
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads.max(1))
+      val gate = new java.util.concurrent.Semaphore(threads.max(1))
+      val in = open(f)
+      try {
+        var rec = WarcCodec.readRecordSpooled(in)
+        while (rec.isDefined) {
+          val r = rec.get
+          count += 1
+          gate.acquire()
+          pool.execute(() =>
+            try errors.addAndGet(verifyRecord(r, quiet))
+            catch { case _: Exception => errors.incrementAndGet() }
+            finally { r.payload.close(); gate.release() })
+          rec = WarcCodec.readRecordSpooled(in)
+        }
+        allRead = true
+      } catch {
+        case e: Exception =>
+          errors.incrementAndGet()
+          System.err.println(s"failed to read record: ${e.getMessage} file=$f")
+      } finally {
+        in.close()
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
       }
-      (total, bad)
+      VerifyReport(f, errors.get() == 0, errors.get(), count, allRead)
+    }
+
+  /** Back-compat summary: (records checked, total failures). */
+  private[tools] def verifyFiles(files: Seq[String]): (Int, Int) = {
+    val reports = verifyReports(files)
+    (reports.map(_.count).sum, reports.map(_.errors).sum)
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "verify" :: files if files.nonEmpty =>
-      val (total, bad) = verifyFiles(files)
-      println(s"checked $total records, $bad digest mismatches")
-      if (bad > 0) sys.exit(1)
+    case "verify" :: rest if rest.filterNot(_.startsWith("--")).nonEmpty =>
+      val flags = rest.filter(_.startsWith("--")).toSet
+      val files = rest.filterNot(_.startsWith("--"))
+      val threads = flags.collectFirst {
+        case x if x.startsWith("--threads=") => x.stripPrefix("--threads=").toInt
+      }.getOrElse(Runtime.getRuntime.availableProcessors())
+      val json = flags.contains("--json")
+      val reports = verifyReports(files, threads, quiet = json)
+      reports.foreach { rep =>
+        if (json)
+          println(s"""{"file":"${rep.file}","valid":${rep.valid},"errors":${rep.errors},"count":${rep.count},"allRecordsRead":${rep.allRecordsRead}}""")
+        else
+          println(s"checked file=${rep.file} valid=${rep.valid} errors=${rep.errors} count=${rep.count} allRecordsRead=${rep.allRecordsRead}")
+      }
+      if (reports.exists(!_.valid)) sys.exit(1)
 
     case "extract" :: rest if rest.filterNot(_.startsWith("--")).length >= 2 =>
       val flags = rest.filter(_.startsWith("--")).toSet
@@ -160,6 +204,7 @@ object WarcTool {
       val outDir = positional.last
       val hostSort = flags.contains("--host-sort")
       val hashSuffix = flags.contains("--hash-suffix")
+      val allowOverwrite = flags.contains("--allow-overwrite")
       val threads = flags.collectFirst {
         case f if f.startsWith("--threads=") => f.stripPrefix("--threads=").toInt
       }.getOrElse(1).max(1)
@@ -199,31 +244,44 @@ object WarcTool {
                 val d = new java.io.File(dir, if (host.isEmpty) "unknown" else host)
                 d.mkdirs(); d
               }
-            val out = nameLock.synchronized {
+            // collision discipline (/root/reference/cmd/extract.go:157-235):
+            // existing file → skip unless --allow-overwrite; with
+            // --hash-suffix an identical payload skips, a different one
+            // gets a digest-suffixed name (which itself only overwrites
+            // under --allow-overwrite)
+            val out: Option[java.io.File] = nameLock.synchronized {
               var o = new java.io.File(parent, name)
-              if (o.exists() && hashSuffix) {
+              if (!o.exists()) { o.createNewFile(); Some(o) }
+              else if (hashSuffix) {
                 // streaming compare: sha1 of the existing file vs a fresh
                 // decode pass over the spool — nothing materializes
                 val fin = new java.io.BufferedInputStream(new FileInputStream(o), 1 << 16)
                 val existingSha = try streamDigest(fin, "SHA-1") finally fin.close()
                 val newSha = streamDigest(
                   HttpCodec.decodedBodyStream(r.payload.inputStream())._2, "SHA-1")
-                if (!java.util.Arrays.equals(existingSha, newSha))
+                if (java.util.Arrays.equals(existingSha, newSha)) None // identical: skip
+                else {
                   o = new java.io.File(parent, hashSuffixName(name, Digests.base32(newSha)))
-              }
-              o.createNewFile()
-              o
+                  if (o.exists() && !allowOverwrite) None
+                  else { o.createNewFile(); Some(o) }
+                }
+              } else if (allowOverwrite) Some(o)
+              else None
             }
-            val sink = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(out), 1 << 16)
-            var written = 0L
-            try {
-              val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
-              val buf = new Array[Byte](64 << 10)
-              var n = body.read(buf)
-              while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
-            } finally sink.close()
-            println(s"wrote ${out.getPath} ($written B, $ct)")
+            out match {
+              case None => println(s"skipped ${new java.io.File(parent, name).getPath} (exists)")
+              case Some(outFile) =>
+                val sink = new java.io.BufferedOutputStream(
+                  new java.io.FileOutputStream(outFile), 1 << 16)
+                var written = 0L
+                try {
+                  val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
+                  val buf = new Array[Byte](64 << 10)
+                  var n = body.read(buf)
+                  while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
+                } finally sink.close()
+                println(s"wrote ${outFile.getPath} ($written B, $ct)")
+            }
           }
         } catch {
           case e: Exception =>
@@ -270,7 +328,7 @@ object WarcTool {
       if (bad > 0) sys.exit(1)
 
     case _ =>
-      System.err.println("usage: WarcTool verify <file>… | extract <file>… <outDir> [--host-sort] [--hash-suffix] [--threads=N] [--content-type=a,b] | write <n> <outDir> [recordsPerFile]")
+      System.err.println("usage: WarcTool verify <file>… [--threads=N] [--json] | extract <file>… <outDir> [--host-sort] [--hash-suffix] [--allow-overwrite] [--threads=N] [--content-type=a,b] | write <n> <outDir> [recordsPerFile]")
       sys.exit(2)
   }
 }

@@ -104,6 +104,62 @@ class WarcToolSpec extends AnyFunSuite {
       new java.io.File(dir, "a3.txt").toPath), UTF_8) == "body-a3")
   }
 
+  test("extract skips existing files by default; --allow-overwrite restores overwrite") {
+    val warcDir = Files.createTempDirectory("wt-ow-warc")
+    def writeWarc(path: String, body: String): Unit = {
+      val out = new java.io.FileOutputStream(path)
+      val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+      val html = HttpCodec.buildResponse(200, "OK",
+        Seq("Content-Type" -> "text/plain",
+          "Content-Length" -> body.getBytes(UTF_8).length.toString),
+        body.getBytes(UTF_8))
+      w.writeMember(WarcCodec.serialize(
+        graft.sources.WarcIO.pageToRecord("https://a.example/f.txt",
+          new java.sql.Timestamp(1647748545000L), html)))
+      w.close(); out.close()
+    }
+    val f1 = warcDir.resolve("a.warc.gz").toString
+    val f2 = warcDir.resolve("b.warc.gz").toString
+    writeWarc(f1, "original")
+    writeWarc(f2, "replacement")
+    // default: second extraction must NOT clobber the existing file
+    // (/root/reference/cmd/extract.go:232-235)
+    val dir1 = Files.createTempDirectory("wt-ow1").toString
+    WarcTool.main(Array("extract", f1, dir1))
+    WarcTool.main(Array("extract", f2, dir1))
+    assert(new String(Files.readAllBytes(
+      new java.io.File(dir1, "f.txt").toPath), UTF_8) == "original")
+    // --allow-overwrite: it may
+    val dir2 = Files.createTempDirectory("wt-ow2").toString
+    WarcTool.main(Array("extract", f1, dir2))
+    WarcTool.main(Array("extract", f2, dir2, "--allow-overwrite"))
+    assert(new String(Files.readAllBytes(
+      new java.io.File(dir2, "f.txt").toPath), UTF_8) == "replacement")
+  }
+
+  test("verify --threads and per-file reports") {
+    val dir = Files.createTempDirectory("wt-vthreads")
+    val f = dir.resolve("multi.warc.gz").toString
+    val out = new java.io.FileOutputStream(f)
+    val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+    (1 to 12).foreach { i =>
+      val page = graft.sources.PagesGen.genPage(i.toLong, 100L, 10, 42L)
+      w.writeMember(WarcCodec.serialize(
+        graft.sources.WarcIO.pageToRecord(page.url, page.warc_ts, page.html)))
+    }
+    w.close(); out.close()
+    val reports = WarcTool.verifyReports(Seq(f), threads = 4, quiet = true)
+    assert(reports.length == 1)
+    val r = reports.head
+    assert(r.valid && r.errors == 0 && r.count == 12 && r.allRecordsRead)
+    // a truncated file reports allRecordsRead=false and invalid
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    val cut = dir.resolve("cut.warc.gz")
+    Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val bad = WarcTool.verifyReports(Seq(cut.toString), threads = 4, quiet = true).head
+    assert(!bad.valid && !bad.allRecordsRead && bad.errors > 0)
+  }
+
   test("verify rejects WARC versions outside {1.0, 1.1}") {
     val dir = Files.createTempDirectory("wt-version")
     val page = graft.sources.PagesGen.genPage(7L, 100L, 10, 42L)
