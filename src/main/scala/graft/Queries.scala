@@ -525,6 +525,26 @@ object Queries {
         .select(col("doc_id"), url_surt(col("url")).as("surt"))
         .orderBy("doc_id")),
 
+    "d09_curation" -> ((s, dir) => {
+      // the full curation funnel over one corpus: quality gate (≥30
+      // tokens) → exact dedup on planted dup bodies → 13-gram
+      // decontamination vs an eval set seeded from every 25th doc →
+      // per-language mixing — each stage an engine operator, the whole
+      // chain replayed in one DuckDB query
+      val d = t(s, dir, "documents").withColumn("text2", expr(text2Spark))
+      val evalSet = d.filter(col("doc_id") % 25 === 0)
+        .select(concat_ws(" ",
+          slice(filter(split(trim(col("text2")), "\\s+"), w => length(w) > 0),
+            1, 20)).as("text2"))
+      TrainingData.curate(d, Some(evalSet),
+        TrainingData.CurationConfig(minTokens = 30,
+          langRates = Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.25, "de" -> 0.125, "fr" -> 0.0),
+          salt = "mix1"),
+        textCol = "text2")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "d08_stratified_sample" -> ((s, dir) =>
       // deterministic per-language mixing: keep-rate by stratum, survival
       // decided by a pure (id, salt) hash — reproducible across engines,
@@ -1056,6 +1076,33 @@ object Queries {
       """SELECT doc_id,
         | 'example,host' || CAST((doc_id % 89) % 7 AS VARCHAR) || ')/doc/' || CAST(doc_id % 89 AS VARCHAR) AS surt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d09_curation" ->
+      s"""WITH p AS (SELECT doc_id, lang, $text2Duck AS text2 FROM documents),
+         |q AS (SELECT * FROM p
+         | WHERE len(list_filter(regexp_split_to_array(trim(text2), '\\s+'), x -> len(x) > 0)) >= 30),
+         |d AS (SELECT doc_id, lang, text2 FROM (
+         | SELECT q.*, row_number() OVER (PARTITION BY sha256(text2) ORDER BY doc_id) AS rn FROM q)
+         | WHERE rn = 1),
+         |wv AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text2)), '\\s+'), x -> len(x) > 0) AS ws FROM d),
+         |eg AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(ews) >= 13
+         |  THEN list_transform(range(1, len(ews) - 11),
+         |    i -> array_to_string(list_slice(ews, i, i + 12), ' '))
+         |  ELSE [] END)) AS g
+         | FROM (SELECT list_slice(list_filter(regexp_split_to_array(lower(trim(text2)), '\\s+'), x -> len(x) > 0), 1, 20) AS ews
+         |       FROM p WHERE doc_id % 25 = 0)),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         | SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 13
+         |  THEN list_transform(range(1, len(ws) - 11),
+         |    i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+         |  ELSE [] END)) AS g FROM wv) dg
+         | JOIN eg USING (g)),
+         |c AS (SELECT d.* FROM d WHERE d.doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT doc_id, lang FROM c
+         |WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8))::UBIGINT <
+         | CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 4294967296
+         |           WHEN 'es' THEN 1073741824 WHEN 'de' THEN 536870912 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
 
     "d08_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -69,6 +69,41 @@ class AsOfSpec extends AnyFunSuite {
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("curate: funnel counters observable and monotone, stages compose") {
+    val docs = (0L until 600L).map { i =>
+      val text =
+        if (i % 10 == 0) "short doc"                             // fails quality
+        else if (i % 7 < 2) s"duplicate body ${i % 7} " * 40     // dedup clusters
+        else s"unique body $i with plenty of distinct words " * 8
+      (i, if (i % 2 == 0) "en" else "de", text)
+    }.toDF("doc_id", "lang", "text")
+    // eval set shares a 13-gram with the duplicate-body cluster 0 texts
+    val eval = Seq(("duplicate body 0 " * 10).trim).toDF("text")
+    val out = TrainingData.curate(docs, Some(eval),
+      TrainingData.CurationConfig(minTokens = 20,
+        langRates = Map("en" -> 1.0, "de" -> 0.5), contamN = 13, salt = "t"))
+    // execute `out` itself: observed metrics populate only on the
+    // executed Dataset's own QueryExecution
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    val m = out.queryExecution.observedMetrics
+    def c(n: String): Long = m(n).getAs[Long]("rows")
+    assert(c("curation_input") == 600L)
+    assert(c("curation_quality") == 540L, "60 short docs fail the token gate")
+    assert(c("curation_dedup") < c("curation_quality"),
+      "duplicate bodies must collapse to their first doc")
+    assert(c("curation_decontam") == c("curation_dedup") - 1,
+      "exactly the cluster-0 keeper shares an eval 13-gram")
+    assert(c("curation_out") == kept.size.toLong)
+    assert(c("curation_out") < c("curation_decontam"), "mix must subsample de")
+    // survivors: no short docs, at most one doc per duplicate body, no
+    // doc from the contaminated cluster
+    assert(kept.forall(_ % 10 != 0))
+    assert(!kept.exists(i => i % 10 != 0 && i % 7 == 0), "cluster 0 is contaminated")
+    val cluster1 = kept.filter(i => i % 10 != 0 && i % 7 == 1)
+    assert(cluster1.subsetOf(Set(1L)),
+      "cluster 1 may keep at most its first doc (the mix can drop even that)")
+  }
+
   test("stratifiedSample: deterministic, rate-accurate, salt-independent draws") {
     val docs = (0L until 20000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
