@@ -48,13 +48,18 @@ object TrainingData {
       .observe("curation_dedup", count(lit(1)).as("rows"))
 
     // 3. benchmark decontamination — any doc sharing a contamN-gram with
-    // the eval corpus is dropped (broadcast eval-gram set, anti-join)
+    // the eval corpus is dropped (broadcast eval-gram set, anti-join).
+    // Contaminated ids are computed from the PRE-dedup quality set, not
+    // from `deduped`: referencing `deduped` twice would evaluate its wide
+    // digest-window exchange twice per run, while the quality set is a
+    // narrow scan — and flagging a doc that dedup drops anyway changes
+    // nothing in the anti-join.
     val clean = (evalSet match {
       case Some(ev) =>
         val evalGrams = ev
           .select(explode(Dedup.wordNgrams(col(textCol), cfg.contamN)).as("g"))
           .distinct()
-        val contaminated = deduped
+        val contaminated = quality
           .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), cfg.contamN)).as("g"))
           .join(broadcast(evalGrams), "g")
           .select(col(idCol)).distinct()
