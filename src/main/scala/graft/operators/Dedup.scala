@@ -271,7 +271,10 @@ object Dedup {
       idCol: String = "doc_id",
       wordsPerLine: Int = 10): DataFrame = {
     val W = wordsPerLine
-    val words = wsTokens(col(textCol))
+    // token array materialized BELOW the line transform: inline, the
+    // per-line lambda would re-tokenize the document once per line
+    // (interpreted HOF semantics — see wordNgramsFrom)
+    val words = col("__ws")
     val nLines = ceil(size(words).cast("double") / W).cast("int")
     // guard: Spark's sequence(1, 0) DESCENDS instead of returning empty
     val lines = when(size(words) > 0,
@@ -279,6 +282,7 @@ object Dedup {
         i => concat_ws(" ", slice(words, (i - lit(1)) * W + 1, lit(W)))))
       .otherwise(array().cast("array<string>"))
     val exploded = docs
+      .select(col(idCol), wsTokens(col(textCol)).as("__ws"))
       .select(col(idCol), posexplode(lines).as(Seq("idx", "line")))
     // globally-first occurrence per distinct line: min(struct) orders by
     // (id asc, idx asc) — the same total order the window form used
@@ -300,17 +304,33 @@ object Dedup {
 
   // --- Benchmark decontamination -------------------------------------------
 
-  /** Word n-grams of a document (lowercased, whitespace-tokenized, empties
-    * filtered), DISTINCT within the doc. Empty array below n words — no
-    * partial tail gram (a 12-word doc shares no 13-gram with anything). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val words = wsTokens(lower(c))
+  /** Word n-grams from an ALREADY-TOKENIZED words column, DISTINCT within
+    * the doc. Empty array below n words — no partial tail gram (a 12-word
+    * doc shares no 13-gram with anything).
+    *
+    * The words argument should be a bound COLUMN, not an inline
+    * tokenization expression: higher-order functions evaluate interpreted,
+    * and an expression inside the per-gram lambda is re-evaluated PER
+    * ELEMENT — an inline `split(...)` there re-tokenizes the whole
+    * document once per gram, turning an O(tokens) projection into
+    * O(tokens × grams) (measured 17× on the decontamination path). */
+  def wordNgramsFrom(words: Column, n: Int): Column =
     array_distinct(
       when(size(words) >= n,
         transform(sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", slice(words, i, lit(n)))))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** Word n-grams of a text column (lowercased, whitespace-tokenized,
+    * empties filtered). Convenience form — for hot paths, materialize the
+    * token array in a projection below and use [[wordNgramsFrom]] (see its
+    * scaladoc for why). */
+  def wordNgrams(c: Column, n: Int): Column =
+    wordNgramsFrom(wsTokens(lower(c)), n)
+
+  /** The tokenization used by the n-gram builders, exposed so callers can
+    * materialize it once per row. */
+  def ngramTokens(c: Column): Column = wsTokens(lower(c))
 
   /** Benchmark decontamination: flag every training document that shares
     * at least one word n-gram with an evaluation corpus (n = 13 is the
@@ -332,11 +352,16 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 13,
       evalTextCol: String = "text"): DataFrame = {
+    // token arrays materialize in a projection BELOW the gram transform:
+    // an inline tokenization inside the per-gram lambda would re-tokenize
+    // the document once per gram (wordNgramsFrom scaladoc)
     val evalGrams = eval
-      .select(explode(wordNgrams(col(evalTextCol), n)).as("g"))
+      .select(ngramTokens(col(evalTextCol)).as("__ws"))
+      .select(explode(wordNgramsFrom(col("__ws"), n)).as("g"))
       .distinct()
     val hits = train
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), ngramTokens(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(wordNgramsFrom(col("__ws"), n)).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_hits"))

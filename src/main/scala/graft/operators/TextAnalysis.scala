@@ -128,12 +128,17 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     def gramStats(n: Int, outCol: String, dup: Boolean): DataFrame = {
-      val words = filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0)
+      // token array materialized BELOW the gram transform: inline, the
+      // per-gram lambda would re-tokenize the document once per gram
+      // (interpreted HOF semantics — see Dedup.wordNgramsFrom)
+      val words = col("__ws")
       val grams = when(size(words) >= n,
         transform(sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", slice(words, i, lit(n)))))
         .otherwise(array().cast("array<string>"))
       val counts = docs
+        .select(col(idCol),
+          filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0).as("__ws"))
         .select(col(idCol), explode(grams).as("g"))
         .groupBy(col(idCol), col("g"))
         .agg(count(lit(1)).as("cnt"))

@@ -56,11 +56,15 @@ object TrainingData {
     // nothing in the anti-join.
     val clean = (evalSet match {
       case Some(ev) =>
+        // token arrays materialized below the gram transform — an inline
+        // tokenization would re-run once per gram (Dedup.wordNgramsFrom)
         val evalGrams = ev
-          .select(explode(Dedup.wordNgrams(col(textCol), cfg.contamN)).as("g"))
+          .select(Dedup.ngramTokens(col(textCol)).as("__ws"))
+          .select(explode(Dedup.wordNgramsFrom(col("__ws"), cfg.contamN)).as("g"))
           .distinct()
         val contaminated = quality
-          .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), cfg.contamN)).as("g"))
+          .select(col(idCol), Dedup.ngramTokens(col(textCol)).as("__ws"))
+          .select(col(idCol), explode(Dedup.wordNgramsFrom(col("__ws"), cfg.contamN)).as("g"))
           .join(broadcast(evalGrams), "g")
           .select(col(idCol)).distinct()
         deduped.join(contaminated, Seq(idCol), "left_anti")

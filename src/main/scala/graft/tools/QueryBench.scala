@@ -16,10 +16,17 @@ object QueryBench {
     val spark = GraftSession.local(cpus)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      // full evaluation of the query's own output — count() alone lets the
+      // optimizer prune projections/joins and times almost nothing
+      def evaluate(df: org.apache.spark.sql.DataFrame): Long = {
+        val rows = spark.sparkContext.longAccumulator
+        df.queryExecution.toRdd.foreach(_ => rows.add(1L))
+        rows.value
+      }
+      try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val n = evaluate(fn(spark, sfDir))
         val s = (System.nanoTime() - t0) / 1e9
         (s, n)
       }
