@@ -176,29 +176,43 @@ object TextAnalysis {
     * range partitioning and the final bounded per-sequence rank. */
   /** (idCol, n_tokens, __cum = exclusive prefix sum of n_tokens in idCol
     * order) via the two-phase distributed prefix sum described on
-    * packSequences. Executed twice (offset aggregate + cumsum pass) — both
-    * runs share the plan, and range boundaries/sort are deterministic for
-    * the same input, so the pid→offset map lines up; persist upstream if
-    * the tokenization is expensive enough to matter. */
+    * packSequences. Prefix groups are DETERMINISTIC ranges of the (numeric)
+    * id domain — `(id - min) div ceil(span/p)` — never sampled: the plan
+    * executes twice (offset aggregate + cumsum pass), and
+    * `repartitionByRange`'s sampled boundaries may differ between
+    * executions, silently skewing every offset past the first divergent
+    * partition (observed at sf0.1). Offsets key on the logical group, not
+    * the physical partition id, so even the hash placement of groups is
+    * free to differ between the two passes. */
   private def withExclusiveCumsum(
       docs: DataFrame, textCol: String, idCol: String, partitions: Int): DataFrame = {
     val spark = docs.sparkSession
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val bounds = docs.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    val (lo, hi) = if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
+    val rangeSize = math.max(1L, (hi - lo + p) / p)
     val base = docs
-      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartitionByRange(p, col(idCol))
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        expr(s"CAST((CAST($idCol AS BIGINT) - ${lo}L) DIV ${rangeSize}L AS INT)").as("__g"))
+      .repartition(p, col("__g"))
       .sortWithinPartitions(col(idCol))
-    val perPart = base
-      .select(spark_partition_id().as("pid"), col("n_tokens"))
-      .groupBy("pid").agg(sum("n_tokens").as("toks"))
+    val perGroup = base
+      .groupBy("__g").agg(sum("n_tokens").as("toks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = perPart.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((a, q) => a + perPart(q)).init).toMap
+    val gs = perGroup.keys.toSeq.sorted
+    val offsets = gs.zip(gs.scanLeft(0L)((a, g) => a + perGroup(g)).init).toMap
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = base.schema.add("__cum", "long")
-    val rdd = base.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value.getOrElse(pid, 0L)
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.take(2)).add("__cum", "long")
+    // groups are monotone in id and hash-colocated, so after the
+    // within-partition id sort each group is one contiguous run; the
+    // running sum re-seeds from the group's global offset at each boundary
+    val rdd = base.rdd.mapPartitionsWithIndex { (_, it) =>
+      var curG = Int.MinValue
+      var acc = 0L
       it.map { row =>
+        val g = row.getInt(2)
+        if (g != curG) { curG = g; acc = bc.value.getOrElse(g, 0L) }
         val t = row.getLong(1)
         val cum = acc
         acc += t

@@ -307,6 +307,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_._3).distinct.length == starts.size)
   }
 
+  test("packSequences is invariant to partition count and non-dense ids") {
+    // regression for the sf0.1 drift: the prefix sum executes its plan
+    // twice, and range-SAMPLED boundaries could differ between executions,
+    // skewing every offset past the first divergence. The fix derives
+    // groups from the id domain (never sampled), so the result must be a
+    // pure function of the data — identical across partition counts and
+    // with gappy, offset ids.
+    val docs = (0L until 4000L).map { i =>
+      val id = i * 13 + 1000003 // non-dense, non-zero-based id space
+      (id, Seq.fill((i * 17 % 23 + 1).toInt)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val ref = TextAnalysis.packSequences(df, 57L, partitions = 1)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    for (p <- Seq(3, 7, 16)) {
+      val got = TextAnalysis.packSequences(df.repartition(11), 57L, partitions = p)
+        .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+      assert(got.sameElements(ref), s"partitions=$p must not change the packing")
+    }
+  }
+
   test("chunkSequences: exact-cap mid-doc splits tile the token stream") {
     val cap = 10L
     val docs = (0L until 29L).map { i =>
