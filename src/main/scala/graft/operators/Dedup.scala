@@ -26,16 +26,23 @@ object Dedup {
 
   // --- MinHash + LSH ------------------------------------------------------
 
-  /** Word k-shingles of a document, lowercase (trim first so tokenization
-    * matches the Hashing kernel's empty-token filtering). */
-  def shingles(c: Column, k: Int): Column = {
-    val words = split(trim(lower(c)), "\\s+")
-    // sliding window of k words, joined by space
+  /** Word k-shingles from an ALREADY-TOKENIZED words column (see
+    * wordNgramsFrom for why the tokens must be a bound column, not an
+    * inline expression). Sliding window of k words joined by space; docs
+    * shorter than k yield one partial shingle (the Hashing kernel's
+    * semantics). */
+  def shinglesFrom(words: Column, k: Int): Column =
     filter(
       transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
         i => concat_ws(" ", slice(words, i + 1, lit(k)))),
       s => length(s) > 0)
-  }
+
+  /** Word k-shingles of a text column, lowercase (trim first so
+    * tokenization matches the Hashing kernel's empty-token filtering).
+    * Convenience form — for hot paths, materialize `ngramTokens` below
+    * and use [[shinglesFrom]]. */
+  def shingles(c: Column, k: Int): Column =
+    shinglesFrom(split(trim(lower(c)), "\\s+"), k)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band → (band_id, bucket) candidate keys. */
@@ -95,15 +102,25 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
-    // exact jaccard verification (hash-set kernel): texts joined back only
-    // for docs that appear in candidate pairs
-    val tA = base.select(col("id").as("id_a"), col("t").as("t_a"))
-    val tB = base.select(col("id").as("id_b"), col("t").as("t_b"))
+    // exact jaccard verification: each doc's DISTINCT shingle set is
+    // computed ONCE (in the projection feeding the join) and shipped to
+    // its candidate pairs; the per-pair cost is a hash-set
+    // intersect/union over the two arrays — never a re-shingling of the
+    // text per pair (a doc in a 64-clique would shingle 63× per side),
+    // and never the raw text through the join
+    def shingleSet(side: String) = base
+      .select(col("id").as(s"id_$side"),
+        split(trim(lower(col("t"))), "\\s+").as("__ws"))
+      .select(col(s"id_$side"),
+        array_distinct(shinglesFrom(col("__ws"), k)).as(s"sh_$side"))
     pairs
-      .join(tA, "id_a")
-      .join(tB, "id_b")
+      .join(shingleSet("a"), "id_a")
+      .join(shingleSet("b"), "id_b")
       .withColumn("jaccard",
-        graft.functions.GraftFunctions.jaccard_shingles(col("t_a"), col("t_b"), k))
+        when(size(col("sh_a")) === 0 && size(col("sh_b")) === 0, lit(0.0))
+          .otherwise(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
