@@ -556,6 +556,21 @@ object Queries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "f17_host_rank" -> ((s, dir) => {
+      // host-authority PageRank over the crawl's REAL link-extraction
+      // path (edges regexp'd from fetched text, hosts canonicalized);
+      // fixed-point integer arithmetic makes the 3 iterations a pure
+      // order-independent function of the graph, replayed bitwise by
+      // the oracle's unrolled CTEs over the closed-form link arithmetic
+      val web = Crawl.asWeb(Queries.webLite(s, dir))
+      val edges = web.select(
+          url_host(col("url_norm")).as("src_host"),
+          explode(expr("regexp_extract_all(text, '<a href=\"([^\"]+)\"', 1)")).as("link"))
+        .select(col("src_host"), url_host(url_normalize(col("link"))).as("dst_host"))
+      Frontier.hostRank(edges, iterations = 3)
+        .orderBy("host")
+    }),
+
     "f14_discard_hook" -> ((s, dir) => {
       // pluggable discard hook (P6): predicate-driven rejection with a
       // typed reason side output (the drop-429s e2e shape,
@@ -1052,6 +1067,30 @@ object Queries {
          | CASE WHEN e2.rn > 1 THEN e2.fu WHEN e2.rn = 1 AND idx.dg IS NOT NULL THEN idx.uri END AS refers_to_url
          |FROM h2 LEFT JOIN e2 ON h2.doc_id = e2.doc_id LEFT JOIN idx ON e2.dg = idx.dg
          |ORDER BY h2.doc_id""".stripMargin,
+
+    "f17_host_rank" ->
+      """WITH us AS (SELECT DISTINCT doc_id % 89 AS u FROM documents),
+        |e AS (
+        | SELECT CAST(u % 7 AS BIGINT) AS s, CAST((((u % 13)*2+1) % 89) % 7 AS BIGINT) AS t FROM us
+        | UNION ALL
+        | SELECT CAST(u % 7 AS BIGINT) AS s, CAST((((u % 13)*5+3) % 89) % 7 AS BIGINT) AS t FROM us),
+        |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION ALL SELECT t AS h FROM e)),
+        |outd AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+        |r0 AS (SELECT h, 1000000000000 // 7 AS r FROM hosts),
+        |c1 AS (SELECT e.t AS h, CAST(sum(r0.r // outd.od) AS BIGINT) AS isum
+        |       FROM e JOIN r0 ON e.s = r0.h JOIN outd ON e.s = outd.s GROUP BY e.t),
+        |r1 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c1.isum, 0)) // 100 AS r
+        |       FROM hosts LEFT JOIN c1 ON hosts.h = c1.h),
+        |c2 AS (SELECT e.t AS h, CAST(sum(r1.r // outd.od) AS BIGINT) AS isum
+        |       FROM e JOIN r1 ON e.s = r1.h JOIN outd ON e.s = outd.s GROUP BY e.t),
+        |r2 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c2.isum, 0)) // 100 AS r
+        |       FROM hosts LEFT JOIN c2 ON hosts.h = c2.h),
+        |c3 AS (SELECT e.t AS h, CAST(sum(r2.r // outd.od) AS BIGINT) AS isum
+        |       FROM e JOIN r2 ON e.s = r2.h JOIN outd ON e.s = outd.s GROUP BY e.t),
+        |r3 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c3.isum, 0)) // 100 AS r
+        |       FROM hosts LEFT JOIN c3 ON hosts.h = c3.h)
+        |SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host, CAST(r AS BIGINT) AS rank
+        |FROM r3 ORDER BY host""".stripMargin,
 
     "f14_discard_hook" ->
       """SELECT doc_id,

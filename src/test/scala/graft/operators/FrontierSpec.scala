@@ -273,6 +273,37 @@ class FrontierSpec extends AnyFunSuite {
       s"all 4 candidates must be fetched across rounds, got $fetchedUrls")
   }
 
+  test("hostRank: integer fixed-point PageRank equals a sequential brute force") {
+    // hub-and-spoke + chain: d is linked by everyone, e dangles
+    val edges = Seq(
+      ("a", "d"), ("b", "d"), ("c", "d"), ("d", "a"), ("a", "b"),
+      ("b", "c"), ("c", "e"), ("e", "d"), ("a", "d"))
+    val got = Frontier.hostRank(edges.toDF("src_host", "dst_host"), iterations = 4)
+      .as[(String, Long)].collect().toMap
+    // sequential replay of the exact integer recurrence
+    val scale = 1000000000000L
+    val hosts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = hosts.length.toLong
+    val outdeg = edges.groupBy(_._1).map { case (h, es) => h -> es.length.toLong }
+    val base = (15L * (scale / n)) / 100L
+    var rank = hosts.map(_ -> scale / n).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / outdeg(src) }.sum
+      }
+      rank = hosts.map(h => h -> (base + (85L * contrib.getOrElse(h, 0L)) / 100L)).toMap
+    }
+    assert(got == rank)
+    // in-degree differentiates: the 4-in-edge hub out-ranks the 1-in-edge
+    // tail of the chain, and determinism holds across layouts
+    assert(rank("d") > rank("e"))
+    assert(rank.values.forall(_ > 0))
+    val got2 = Frontier.hostRank(
+      edges.toDF("src_host", "dst_host").repartition(7), iterations = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got2 == got, "integer ranks must be partition-layout independent")
+  }
+
   test("discard hook: typed reasons, exact counters, kept/rejected partition") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("status",
