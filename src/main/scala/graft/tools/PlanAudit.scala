@@ -58,8 +58,12 @@ object PlanAudit {
       q("s03_ann_quantized"))
 
     section("d02_minhash_pairs",
-      "one-pass minhash_sig kernel, band-bucket groupBy (never all-pairs), capped collect_list buckets",
+      "one-pass minhash_sig kernel, band-bucket groupBy (never all-pairs), capped collect_list buckets; verify joins ship per-doc DISTINCT shingle SETS (computed once per doc, set-intersect per pair — never re-shingling text per pair)",
       q("d02_minhash_pairs"))
+
+    section("f17_host_rank",
+      "integer fixed-point PageRank: per-iteration groupBy(dst)+join over checkpointed leaf inputs; no float aggregation anywhere (order-independent by construction)",
+      q("f17_host_rank"))
 
     section("d04_embedding_neardup",
       "banded hyperplane_sigs kernel (8 tables x 10 bits), (table,sig) bucket groupBy, exact cosine verify; planted deltas are pure arithmetic (no hash calls)",
