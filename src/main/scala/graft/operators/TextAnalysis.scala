@@ -116,44 +116,46 @@ object TextAnalysis {
     *     more than once (template/churned text).
     * Docs with fewer than n words score 0.0.
     *
-    * Plan shape at scale: explode n-grams → partial-aggregated
-    * groupBy(id, gram) → groupBy(id). Two exchanges — (id, gram)
-    * partitioning does NOT satisfy the (id)-only second aggregate, so
-    * Catalyst re-shuffles — but map-side combine collapses within-doc
-    * repeats before any wire bytes in both, and the second shuffle carries
-    * one row per distinct (id, gram), far smaller than the input.
+    * Plan shape at scale: ONE corpus scan — both gram lengths explode
+    * together, tagged by n — then partial-aggregated groupBy(id, n, gram)
+    * → groupBy(id, n) → a conditional-aggregate pivot on (id). Map-side
+    * combine collapses within-doc repeats before any wire bytes, and each
+    * later shuffle carries one row per distinct key, far smaller than the
+    * input. (The earlier two-pass form scanned and shuffled the corpus
+    * once per gram length.)
     */
   def repetitionSignals(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def gramStats(n: Int, outCol: String, dup: Boolean): DataFrame = {
-      // token array materialized BELOW the gram transform: inline, the
-      // per-gram lambda would re-tokenize the document once per gram
-      // (interpreted HOF semantics — see Dedup.wordNgramsFrom)
-      val words = col("__ws")
-      val grams = when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-      val counts = docs
-        .select(col(idCol),
-          filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0).as("__ws"))
-        .select(col(idCol), explode(grams).as("g"))
-        .groupBy(col(idCol), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-      val agg =
-        if (dup) counts.groupBy(col(idCol)).agg(
-          (sum(when(col("cnt") > 1, col("cnt")).otherwise(0)).cast("double") /
-            sum(col("cnt")).cast("double")).as(outCol))
-        else counts.groupBy(col(idCol)).agg(
-          (max(col("cnt")).cast("double") /
-            sum(col("cnt")).cast("double")).as(outCol))
-      agg
-    }
+    // token array materialized BELOW the gram transform: inline, the
+    // per-gram lambda would re-tokenize the document once per gram
+    // (interpreted HOF semantics — see Dedup.wordNgramsFrom)
+    val words = col("__ws")
+    def gramsOf(n: Int) = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs
+      .select(col(idCol),
+        filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0).as("__ws"))
+      .select(col(idCol), explode(array(
+        struct(lit(2).as("n"), gramsOf(2).as("gs")),
+        struct(lit(5).as("n"), gramsOf(5).as("gs")))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), explode(col("t.gs")).as("g"))
+    val perN = exploded
+      .groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("top_frac"),
+        (sum(when(col("cnt") > 1, col("cnt")).otherwise(0)).cast("double") /
+          sum(col("cnt")).cast("double")).as("dup_frac"))
+    val pivoted = perN.groupBy(col(idCol)).agg(
+      max(when(col("n") === 2, col("top_frac"))).as("top2_frac"),
+      max(when(col("n") === 5, col("dup_frac"))).as("dup5_frac"))
     docs.select(col(idCol))
-      .join(gramStats(2, "top2_frac", dup = false), Seq(idCol), "left")
-      .join(gramStats(5, "dup5_frac", dup = true), Seq(idCol), "left")
+      .join(pivoted, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
         coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
