@@ -812,6 +812,24 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "m03_byte_packing" -> ((s, dir) => {
+      // byte bin-packing end-to-end: deterministic payload lengths (closed
+      // form in doc_id) → repartitionByBytes → per-bucket row/byte totals.
+      // spark_partition_id() IS the bucket here because the identity
+      // partitioner places bucket b in partition b. The oracle replays the
+      // exclusive prefix sum over doc_id order in SQL.
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(repeat('x', CAST(100 + (doc_id * 13) % 900 AS INT)) AS BINARY)")
+            .as("media"))
+      Multimodal.repartitionByBytes(media, targetBytesPerPartition = 20000L)
+        .select(spark_partition_id().as("bucket"),
+          length(col("media")).cast("long").as("len"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("len").as("bytes"))
+        .orderBy("bucket")
+    }),
+
     "t06_subword_count" -> ((s, dir) =>
       // BPE-ish subword proxy: maximal alphanumeric runs + each non-space
       // non-alnum char as its own piece (the word-piece split upper bound)
@@ -1232,6 +1250,24 @@ object Queries {
         |FROM (SELECT doc_id, 10 + doc_id % 30 AS w, 10 + (doc_id*7) % 20 AS h,
         |        greatest(10 + doc_id % 30, 10 + (doc_id*7) % 20) AS m FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "m03_byte_packing" ->
+      // replay the deterministic byte bin-packing: exclusive prefix sum of
+      // payload lengths in doc_id order, bucket = cum // target clamped to
+      // the last bucket (ceil(total/target) buckets)
+      """WITH t AS (
+        |  SELECT doc_id, 100 + (doc_id * 13) % 900 AS len FROM documents),
+        |c AS (
+        |  SELECT doc_id, len,
+        |    coalesce(sum(len) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t),
+        |tot AS (SELECT sum(len) AS total FROM t)
+        |SELECT
+        |  CAST(least(cum // 20000, (total + 19999) // 20000 - 1) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(len) AS BIGINT) AS bytes
+        |FROM c, tot GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t06_subword_count" ->
       // alnum runs + every non-space non-alnum char (Spark's trim() strips

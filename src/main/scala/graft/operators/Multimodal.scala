@@ -190,38 +190,71 @@ object Multimodal {
 
   /** Repartition media rows by payload bytes, not row count: media rows are
     * wildly variable in size, so equal-row partitions would skew executor
-    * memory. Real byte bin-packing via a distributed prefix sum:
+    * memory. Real byte bin-packing via a distributed prefix sum in
+    * deterministic `idCol` order:
     *
-    *   pass 1 (narrow, column-pruned): per-input-partition byte totals →
-    *     driver computes P prefix offsets (P scalars, not rows);
-    *   pass 2: each partition assigns bucket = (offset + running) / target
-    *     in input order, then rows route to bucket-numbered partitions via
-    *     an identity partitioner (no hash collisions merging two buckets).
+    *   pass 1 (narrow, column-pruned aggregate): per-group byte totals →
+    *     driver computes ≤P exclusive prefix offsets (scalars, not rows);
+    *   pass 2: groups colocate + sort by id; each row takes bucket =
+    *     (groupOffset + running) / target, then routes to its
+    *     bucket-numbered partition via an identity partitioner (no hash
+    *     collisions merging two buckets).
     *
-    * Every bucket holds ≤ target + one row's bytes. Requires the input to
-    * enumerate deterministically (parquet scans do). */
+    * Prefix groups are DETERMINISTIC ranges of the (numeric, unique) id
+    * domain — `(id - min) div ceil(span/p)` — never sampled and never keyed
+    * on physical partition ids: the input plan executes twice (offset
+    * aggregate + routing pass), and anything sampled (`repartitionByRange`
+    * boundaries) or physical (`spark_partition_id`, AQE coalescing) may
+    * differ between those executions, silently corrupting every offset past
+    * the first divergence — the exact bug class the t08 sf0.1 sweep caught
+    * in sequence packing. Group membership is a pure function of the id and
+    * per-group totals are order-independent aggregates, so both executions
+    * agree by construction.
+    *
+    * Every bucket holds ≤ target + one row's bytes. Requires `idCol` to be
+    * numeric and unique (ties would make the within-group order ambiguous). */
   def repartitionByBytes(df: DataFrame, targetBytesPerPartition: Long,
-                         mediaCol: String = "media"): DataFrame = {
+                         mediaCol: String = "media", idCol: String = "doc_id",
+                         partitions: Int = 0): DataFrame = {
+    require(targetBytesPerPartition > 0, "targetBytesPerPartition must be positive")
     val spark = df.sparkSession
     val schema = df.schema
+    val nCols = schema.length
     val mediaIdx = schema.fieldIndex(mediaCol)
-    val perPart = df
-      .select(spark_partition_id().as("pid"), length(col(mediaCol)).cast("long").as("len"))
-      .groupBy("pid").agg(sum(col("len")).as("bytes"))
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df // empty input
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val rangeSize = math.max(1L, (hi - lo + p) / p)
+    val gSql = s"CAST((CAST($idCol AS BIGINT) - ${lo}L) DIV ${rangeSize}L AS INT)"
+    val perGroup = df
+      .select(expr(gSql).as("__g"),
+        coalesce(length(col(mediaCol)).cast("long"), lit(0L)).as("len"))
+      .groupBy("__g").agg(sum("len").as("bytes"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (perPart.isEmpty) return df
-    val pids = perPart.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + perPart(p)).init).toMap
-    val total = perPart.values.sum
+    val gs = perGroup.keys.toSeq.sorted
+    val offsets = gs.zip(gs.scanLeft(0L)((a, g) => a + perGroup(g)).init).toMap
+    val total = perGroup.values.sum
     val nBuckets = math.max(1L, (total + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
-    val offsetsBc = spark.sparkContext.broadcast(offsets)
-    val keyed = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = offsetsBc.value.getOrElse(pid, 0L)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // groups are monotone in id and hash-colocated, so after the
+    // within-partition id sort each group is one contiguous run; the
+    // running byte sum re-seeds from the group's global offset at each
+    // group boundary
+    val base = df
+      .withColumn("__g", expr(gSql))
+      .repartition(p, col("__g"))
+      .sortWithinPartitions(col(idCol))
+    val keyed = base.rdd.mapPartitions { it =>
+      var curG = Int.MinValue
+      var acc = 0L
       it.map { row =>
+        val g = row.getInt(nCols) // __g rides appended after the original columns
+        if (g != curG) { curG = g; acc = bc.value.getOrElse(g, 0L) }
         val b = (acc / targetBytesPerPartition).toInt.min(nBuckets - 1)
         val m = row.getAs[Array[Byte]](mediaIdx)
         acc += (if (m == null) 0L else m.length.toLong)
-        (b, row)
+        (b, org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nCols)))
       }
     }
     val packed = keyed.partitionBy(new org.apache.spark.Partitioner {

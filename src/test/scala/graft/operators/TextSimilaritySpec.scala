@@ -244,6 +244,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perPartBytes.map(_._2).sum == 5 * 100000L + 95 * 100L)
   }
 
+  test("repartitionByBytes: bucket assignment invariant to input partitioning") {
+    // the t08 discipline: the plan executes twice (offset aggregate +
+    // routing pass), so bucket assignment must be a pure function of the
+    // id domain — identical under different upstream partition counts,
+    // orderings, and prefix-group widths
+    val target = 50000L
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill[Byte]((100 + (i * 37) % 9000).toInt)(0)))
+    def buckets(np: Int, shuffle: Boolean, parts: Int): Map[Long, Int] = {
+      var df = rows.toDF("doc_id", "media").repartition(np)
+      if (shuffle) df = df.orderBy(col("doc_id").desc) // adversarial order
+      Multimodal.repartitionByBytes(df, target, partitions = parts)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("b"), col("doc_id"))
+        .as[(Int, Long)].collect().map { case (b, id) => id -> b }.toMap
+    }
+    val ref = buckets(np = 3, shuffle = false, parts = 4)
+    assert(ref.size == 200)
+    assert(buckets(np = 11, shuffle = true, parts = 4) == ref,
+      "bucket map changed under different input partitioning/order")
+    assert(buckets(np = 1, shuffle = false, parts = 7) == ref,
+      "bucket map changed under different prefix-group width")
+    // ids are packed contiguously: each bucket is one contiguous id range
+    val byBucket = ref.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    byBucket.foreach { case (b, ids) =>
+      assert(ids.last - ids.head + 1 == ids.length, s"bucket $b ids not contiguous")
+    }
+  }
+
   test("repetition signals match a scala brute force, edge docs score 0") {
     val docs = Seq(
       (0L, "spam spam spam spam spam spam"),         // top2=5/5, dup5=2/2
