@@ -124,6 +124,44 @@ object Bench {
     (rawBytes * n / 1e6 / readSec, rawBytes * n / 1e6 / writeSec)
   }
 
+  /** Full evaluation of the query's own output columns. A bare count()
+    * is NOT a faithful timing: the optimizer prunes the projections and
+    * eliminates cardinality-preserving joins under it, so a narrow query
+    * would be timed as little more than a row-count of its source scan
+    * (measured: d07's real evaluation is ~100× its count() time). */
+  def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  /** One timed pass per query; a query that THROWS is recorded as an error
+    * (class + message), never silently timed as ~0 s — a crashing query
+    * must be visible in the bench JSON, not disguised as a fast one. */
+  def timeQueries(spark: SparkSession, sfDir: String,
+                  queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Seq[(String, Double, Option[String])] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { evaluate(fn(spark, sfDir)); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `{"name":"msg",...}` for the failed queries — empty on a healthy run. */
+  def errorsJson(results: Seq[(String, Double, Option[String])]): String =
+    results.collect { case (k, _, Some(m)) => s"${jsonStr(k)}:${jsonStr(m)}" }
+      .mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -134,30 +172,20 @@ object Bench {
     // behind by the multi-GB headline phase
     val (readMBps, writeMBps) = codecMicro()
 
-    // Full evaluation of the query's own output columns. A bare count()
-    // is NOT a faithful timing: the optimizer prunes the projections and
-    // eliminates cardinality-preserving joins under it, so a narrow query
-    // would be timed as little more than a row-count of its source scan
-    // (measured: d07's real evaluation is ~100× its count() time).
-    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.toRdd.foreach(_ => ())
-
-    // warmup: touch every table + codegen paths once
+    // warmup: touch every table + codegen paths once (failures surface in
+    // the timed pass below, where they are recorded per query)
     SparkEntry.queries.foreach { case (_, fn) =>
       try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try evaluate(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = timeQueries(spark, sfDir, SparkEntry.queries)
     val h = headline(spark, nPages)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errs = errorsJson(results)
     val total = results.map(_._2).sum + h.scheduleSec + h.extractSec
     println(
-      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f}""")
+      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs%s,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f}""")
     spark.stop()
   }
 }

@@ -23,7 +23,10 @@ object QueryBench {
         df.queryExecution.toRdd.foreach(_ => rows.add(1L))
         rows.value
       }
-      try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
+      // warmup failures are loud (the timed pass below propagates anyway)
+      try evaluate(fn(spark, "/root/testdata/sf0.001")) catch {
+        case e: Throwable => System.err.println(s"QUERY $name warmup failed: $e")
+      }
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val n = evaluate(fn(spark, sfDir))
