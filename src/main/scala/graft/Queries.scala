@@ -830,6 +830,22 @@ object Queries {
         .orderBy("bucket")
     }),
 
+    "t11_bpe_tokens" -> ((s, dir) =>
+      // real byte-level BPE token counts (committed 300-merge table); the
+      // oracle independently replays pretokenize → byte-map → rank-order
+      // merge sweep in pure SQL, sharing only the merge TABLE
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "t12_bpe_pack" -> ((s, dir) =>
+      // sequence packing on the tokenizer-faithful basis: same distributed
+      // prefix sum as t08, but the per-doc counts are real BPE tokens
+      TextAnalysis.packSequences(t(s, dir, "documents"), maxTokensPerSeq = 512,
+          counter = TextAnalysis.bpeCount)
+        .select("doc_id", "n_tokens", "seq_id", "seq_pos")
+        .orderBy("doc_id")),
+
     "t06_subword_count" -> ((s, dir) =>
       // BPE-ish subword proxy: maximal alphanumeric runs + each non-space
       // non-alnum char as its own piece (the word-piece split upper bound)
@@ -1268,6 +1284,10 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(len) AS BIGINT) AS bytes
         |FROM c, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t11_bpe_tokens" -> graft.codec.Bpe.oracleSql(),
+
+    "t12_bpe_pack" -> graft.codec.Bpe.packOracleSql(512),
 
     "t06_subword_count" ->
       // alnum runs + every non-space non-alnum char (Spark's trim() strips

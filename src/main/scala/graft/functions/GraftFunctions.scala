@@ -98,6 +98,7 @@ object Kernels {
   def gunzip(b: Array[Byte]): Array[Byte] = HttpCodec.gunzip(b)
   def httpExtractText(b: Array[Byte]): UTF8String =
     UTF8String.fromBytes(HttpCodec.decodedBody(b))
+  def bpeCount(s: UTF8String): Int = graft.codec.Bpe.countTokens(s.toString)
 }
 
 /** Base for one-arg expressions implemented as a static kernel call —
@@ -227,6 +228,17 @@ case class FingerprintExpr(child: Expression, w: Int, k: Int) extends KernelUnar
 }
 
 /** Stopword fraction of the whitespace tokens (web-text quality signal). */
+/** Byte-level BPE token count under the repo's committed deterministic
+  * merge table (graft.codec.Bpe) — the tokenizer-faithful basis for
+  * sequence packing, replacing the regex word-piece proxy. */
+case class BpeCount(child: Expression) extends KernelUnary {
+  override def dataType: DataType = IntegerType
+  override protected def kernelCall = "graft.functions.Kernels.bpeCount(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.bpeCount(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+  override def prettyName: String = "bpe_count"
+}
+
 case class StopwordRatio(child: Expression) extends KernelUnary {
   override def dataType: DataType = DoubleType
   override protected def kernelCall = "graft.functions.Kernels.stopwordRatio(%s)"
@@ -375,6 +387,7 @@ object GraftFunctions {
     col(FingerprintExpr(expr(c), w, k))
   def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))
   def stopword_ratio(c: Column): Column = col(StopwordRatio(expr(c)))
+  def bpe_count(c: Column): Column = col(BpeCount(expr(c)))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =
@@ -397,5 +410,6 @@ object GraftFunctions {
     one("stopword_ratio", StopwordRatio)
     one("doc_fingerprint", e => FingerprintExpr(e, 8, 4))
     one("quantize_i8", QuantizeI8)
+    one("bpe_count", BpeCount)
   }
 }

@@ -30,6 +30,11 @@ object TextAnalysis {
       split(c, "(?<=[^a-zA-Z0-9])|(?=[^a-zA-Z0-9])"),
       t => length(trim(t)) > 0))
 
+  /** Tokenizer-faithful token count: real byte-level BPE under the repo's
+    * committed deterministic merge table (graft.codec.Bpe) — what a
+    * pretraining pipeline actually packs by, as a codegen kernel. */
+  def bpeCount(c: Column): Column = graft.functions.GraftFunctions.bpe_count(c)
+
   /** Stopword fraction of tokens — the classic web-text quality signal
     * (near-0 for boilerplate/gibberish); one codegen kernel call. */
   def stopwordRatio(c: Column): Column =
@@ -187,14 +192,15 @@ object TextAnalysis {
     * the physical partition id, so even the hash placement of groups is
     * free to differ between the two passes. */
   private def withExclusiveCumsum(
-      docs: DataFrame, textCol: String, idCol: String, partitions: Int): DataFrame = {
+      docs: DataFrame, textCol: String, idCol: String, partitions: Int,
+      counter: Column => Column = tokenCount): DataFrame = {
     val spark = docs.sparkSession
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val bounds = docs.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
     val (lo, hi) = if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
     val rangeSize = math.max(1L, (hi - lo + p) / p)
     val base = docs
-      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      .select(col(idCol), counter(col(textCol)).cast("long").as("n_tokens"),
         expr(s"CAST((CAST($idCol AS BIGINT) - ${lo}L) DIV ${rangeSize}L AS INT)").as("__g"))
       .repartition(p, col("__g"))
       .sortWithinPartitions(col(idCol))
@@ -229,9 +235,10 @@ object TextAnalysis {
       maxTokensPerSeq: Long,
       textCol: String = "text",
       idCol: String = "doc_id",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      counter: Column => Column = tokenCount): DataFrame = {
     require(maxTokensPerSeq > 0, "maxTokensPerSeq must be positive")
-    val c = withExclusiveCumsum(docs, textCol, idCol, partitions)
+    val c = withExclusiveCumsum(docs, textCol, idCol, partitions, counter)
     val w = Window.partitionBy(col("seq_id")).orderBy(col(idCol).asc)
     c.withColumn("seq_id", expr(s"__cum div ${maxTokensPerSeq}L"))
       .drop("__cum")
@@ -250,10 +257,11 @@ object TextAnalysis {
       maxTokensPerSeq: Long,
       textCol: String = "text",
       idCol: String = "doc_id",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      counter: Column => Column = tokenCount): DataFrame = {
     require(maxTokensPerSeq > 0, "maxTokensPerSeq must be positive")
     val cap = maxTokensPerSeq
-    withExclusiveCumsum(docs, textCol, idCol, partitions)
+    withExclusiveCumsum(docs, textCol, idCol, partitions, counter)
       .filter(col("n_tokens") > 0)
       .withColumn("seq_id", explode(sequence(
         expr(s"__cum div ${cap}L"),
