@@ -180,7 +180,17 @@ object Crawl {
     }
 
     var allCounters = Vector.empty[Map[String, Long]]
-    var allFetched: Option[DataFrame] = None
+    val fetchedTable = stateDir.map(_ + "/fetched")
+    // durable resume restores the already-captured rounds too (they are
+    // TableIO snapshots keyed by round id), so CrawlResult.fetched is the
+    // whole crawl's captures, not just the rounds after the restart
+    var allFetched: Option[DataFrame] = (fetchedTable, resumedRound) match {
+      case (Some(ft), Some(last)) =>
+        TableIO.listSnapshots(ft).filter(_ <= last)
+          .flatMap(id => TableIO.read(spark, ft, Some(id)))
+          .reduceOption(_ unionByName _)
+      case _ => None
+    }
 
     var r = startRound
     var done = false
@@ -202,12 +212,18 @@ object Crawl {
         val out = round(frontier, seen, web, robots, politeness, cfg,
           seenStore = store, cdx = roundCdx)
         allCounters :+= out.counters
-        // eager localCheckpoint BEFORE release(): pins exactly this round's
-        // rows (truncated lineage, one compact RDD per round — the minimal
-        // footprint for data this API returns) so the round cache can be
-        // dropped below. The accumulator is then a shallow union of
-        // checkpoint scans, never a chain of full per-round pipelines.
-        val roundFetched = out.fetched.localCheckpoint(true)
+        // Pin this round's rows BEFORE release() so the round cache can be
+        // dropped below. Durable (stateDir set): TableIO snapshot keyed by
+        // round — survives executor loss and feeds resume; committed FIRST
+        // so a crash before the frontier/seen commits leaves only an
+        // orphan that the replayed round idempotently overwrites.
+        // In-memory: eager localCheckpoint (truncated lineage, one compact
+        // RDD per round). Either way the accumulator is a shallow union of
+        // leaf scans, never a chain of full per-round pipelines.
+        val roundFetched = fetchedTable match {
+          case Some(_) => graft.state.Durable.pin(out.fetched, fetchedTable, r.toLong)
+          case None => out.fetched.localCheckpoint(true)
+        }
         // optional archival sink: the round's captures as rotated WARC
         // (responses + truncated revisit records, K3 semantics)
         warcDir.foreach(d =>

@@ -197,24 +197,41 @@ object Dedup {
     * a lineage that triples per round — checkpointing replaces both with
     * leaf scans, keeping per-round driver planning O(1).
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25, ckptEvery: Int = 1): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25, ckptEvery: Int = 1,
+                        stateDir: Option[String] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // the symmetric-edge union references `pairs` twice; materialize the
-    // (small) pair list once so an expensive candidate-generation plan
-    // (LSH + verify joins) is never evaluated per branch
-    val p0 = pairs.select(col("id_a"), col("id_b")).persist(lvl)
-    p0.count()
-    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    p0.unpersist()
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val edgeTable = stateDir.map(_ + "/cc_edges")
+    val compTable = stateDir.map(_ + "/cc_comp")
+    // durable resume: the committed edge set + the last committed labels.
+    // Skips re-running the (expensive) candidate-generation plan entirely;
+    // the first resumed iteration re-derives convergence, so a run that
+    // had already converged terminates after one no-op round.
+    val resumed = graft.state.Durable.resume(spark, compTable, maxIters.toLong)
+    val edges = resumed match {
+      case Some(_) =>
+        graft.state.TableIO.read(spark, edgeTable.get, Some(0L)).get
+      case None =>
+        // the symmetric-edge union references `pairs` twice; materialize
+        // the (small) pair list once so an expensive candidate-generation
+        // plan (LSH + verify joins) is never evaluated per branch
+        val p0 = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+        p0.count()
+        val e = graft.state.Durable.pin(
+          p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+            .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
+            .distinct(),
+          edgeTable, 0L)
+        p0.unpersist()
+        e
+    }
+    var comp = resumed.map(_._2).getOrElse(
+      graft.state.Durable.pin(
+        edges.select(col("src").as("id")).distinct().withColumn("rep", col("id")),
+        compTable, 0L))
     var prev: Option[DataFrame] = None
     var converged = false
-    var i = 0
+    var i = resumed.map(_._1.toInt).getOrElse(0)
     while (!converged && i < maxIters) {
       // neighbor-min: the smallest rep among self and direct neighbors
       val nbrMin = edges.join(comp, edges("src") === comp("id"))
@@ -233,7 +250,7 @@ object Dedup {
           coalesce(col("prep"), stepped("rep")).as("rep"),
           (coalesce(col("prep"), stepped("rep")) =!= col("old_rep")).as("changed"))
       val jumped =
-        if ((i + 1) % ckptEvery == 0) jumped0.localCheckpoint(true)
+        if (stateDir.isEmpty && (i + 1) % ckptEvery == 0) jumped0.localCheckpoint(true)
         else jumped0.persist(lvl)
       // the one action of the round: fully materializes the cache (count
       // scans every partition — isEmpty would stop at the first hit and
@@ -246,6 +263,11 @@ object Dedup {
       prev.foreach(_.unpersist())
       prev = Some(jumped)
       comp = jumped.drop("changed")
+      // durable mode: labels after iteration i+1 become snapshot i+1 (the
+      // persisted `jumped` backs the write, so nothing recomputes), and
+      // downstream lineage is the committed file scan
+      if (stateDir.isDefined)
+        comp = graft.state.Durable.pin(comp, compTable, i + 1L)
       i += 1
     }
     comp.select(col("id"), col("rep").as("cluster_rep"))

@@ -213,7 +213,9 @@ object Frontier {
     * leaf-sized (iterative-persist lesson: persist caches data, not
     * plans). Returns (host, rank) with rank summing to ≈ scale. */
   def hostRank(edges: DataFrame, iterations: Int = 3,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               stateDir: Option[String] = None): DataFrame = {
+    val rankTable = stateDir.map(_ + "/hostrank")
     val e = edges.select(col("src_host"), col("dst_host"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hosts = e.select(col("src_host").as("host"))
@@ -225,19 +227,25 @@ object Frontier {
     val outdeg = e.groupBy(col("src_host")).agg(count(lit(1)).as("od"))
       .localCheckpoint(true)
     val base = (15L * (scale / n)) / 100L
-    var rank = hosts.withColumn("rank", lit(scale / n)).localCheckpoint(true)
-    var i = 0
+    // durable mode: iteration i's ranks are a TableIO snapshot (id = i), so
+    // a rerun over the same edges continues from the last committed
+    // iteration instead of restarting (and survives executor loss — the
+    // localCheckpoint path does not; see graft.state.Durable)
+    val resumed = graft.state.Durable.resume(edges.sparkSession, rankTable, iterations.toLong)
+    var rank = resumed.map(_._2).getOrElse(
+      graft.state.Durable.pin(hosts.withColumn("rank", lit(scale / n)), rankTable, 0L))
+    var i = resumed.map(_._1.toInt).getOrElse(0)
     while (i < iterations) {
       val contrib = e
         .join(rank.withColumnRenamed("host", "src_host"), "src_host")
         .join(outdeg, "src_host")
         .select(col("dst_host").as("host"), expr("rank div od").as("c"))
         .groupBy("host").agg(sum(col("c")).as("in_sum"))
-      rank = hosts
+      rank = graft.state.Durable.pin(hosts
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
-          (lit(base) + expr(s"(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+          (lit(base) + expr(s"(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
+        rankTable, i + 1L)
       i += 1
     }
     e.unpersist()

@@ -95,6 +95,27 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 18, "only ids that appear in pairs are assigned")
   }
 
+  test("duplicate clusters durable state: resume provably skips candidate generation") {
+    import spark.implicits._
+    val chain = (1 until 12).map(i => (i.toLong, (i + 1).toLong))
+    val pairs = (chain ++ Seq((40L, 41L))).toDF("id_a", "id_b")
+    val expect = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    // phase 1: one iteration only, committed as durable snapshots
+    Dedup.duplicateClusters(pairs, maxIters = 1, stateDir = Some(dir)).collect()
+    assert(graft.state.TableIO.listSnapshots(s"$dir/cc_comp") == Seq(0L, 1L))
+    // phase 2 resumes with a POISONED pair plan — evaluating it throws, so
+    // completing correctly proves the resume read only durable state (the
+    // committed edge set + labels), never the candidate-generation plan
+    val boom = org.apache.spark.sql.functions.udf { l: Long =>
+      sys.error("poisoned: resume must not evaluate pairs"); l
+    }
+    val poisoned = pairs.withColumn("id_a", boom(col("id_a")))
+    val resumed = Dedup.duplicateClusters(poisoned, stateDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == expect, "durable-resumed labels must equal the in-memory run")
+  }
+
   test("embedding near-dup via banded hyperplane LSH: recall ≥ 0.9 on noisy pairs") {
     // planted near-dups are NOISE-perturbed (direction changes!), not
     // scalar multiples — a single-signature LSH only recalls ~28% of these

@@ -48,5 +48,29 @@ class TableIOSpec extends AnyFunSuite {
     assert(part2.rounds.length == 1)
     assert(part1.rounds ++ part2.rounds == full.rounds,
       "resumed counters must equal the uninterrupted run")
+    // captures are durable too: the resumed run returns EVERY round's
+    // fetched rows (restored from the round-keyed snapshots), equal to the
+    // uninterrupted crawl's
+    def urls(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("url_norm").as[String].collect().sorted.toSeq
+    assert(urls(part2.allFetched) == urls(full.allFetched),
+      "resumed crawl must return all rounds' captures, not only post-restart ones")
+    assert(TableIO.listSnapshots(s"$dir/fetched") == Seq(0L, 1L, 2L))
+  }
+
+  test("hostRank durable state: iterations are snapshots, rerun resumes not restarts") {
+    import graft.operators.Frontier
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src_host", "dst_host")
+    val expect = Frontier.hostRank(edges, iterations = 4)
+      .as[(String, Long)].collect().toMap
+    val dir = Files.createTempDirectory("graft-hr").toString
+    Frontier.hostRank(edges, iterations = 2, stateDir = Some(dir)).collect()
+    assert(TableIO.listSnapshots(s"$dir/hostrank") == Seq(0L, 1L, 2L))
+    // rerun with a larger budget: picks up at iteration 2, adds only 3..4
+    val resumed = Frontier.hostRank(edges, iterations = 4, stateDir = Some(dir))
+      .as[(String, Long)].collect().toMap
+    assert(resumed == expect, "durable-resumed ranks must equal the in-memory run")
+    assert(TableIO.listSnapshots(s"$dir/hostrank") == Seq(0L, 1L, 2L, 3L, 4L))
   }
 }
