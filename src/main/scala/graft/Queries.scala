@@ -1195,9 +1195,9 @@ object Queries {
         | FROM d)
         |SELECT doc_id,
         | CAST(len(ws) AS INT) AS n_words,
-        | CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
-        | CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS alpha_word_frac,
-        | ((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3) / CAST(len(ws) AS DOUBLE) AS symbol_word_ratio
+        | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+        | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS alpha_word_frac,
+        | CASE WHEN len(ws) = 0 THEN 0.0 ELSE ((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3) / CAST(len(ws) AS DOUBLE) END AS symbol_word_ratio
         |FROM w ORDER BY doc_id""".stripMargin,
 
     "f06_host_stats" ->

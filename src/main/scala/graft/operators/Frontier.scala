@@ -182,9 +182,18 @@ object Frontier {
     * both sides expose observable row counters
     * (`queryExecution.observedMetrics` after any action), the ErrChan
     * accounting. The predicate stays a Catalyst expression, so pushdown /
-    * codegen apply to the hook exactly as to built-in filters. */
-  def applyDiscard(df: DataFrame, reason: Column): Discarded = {
-    val marked = df.withColumn("__reason", reason)
+    * codegen apply to the hook exactly as to built-in filters.
+    *
+    * Kept and rejected are two plans over the same input, which therefore
+    * EVALUATES TWICE: fine for deterministic sources (parquet scans, pure
+    * projections — every source in this repo), but a nondeterministic
+    * upstream (sampling, a re-fetch) could emit rows to neither/both
+    * sides. For those, pass `pin = true`: the marked frame is eagerly
+    * materialized once (localCheckpoint) before splitting, making the
+    * partition exact at the cost of one materialization. */
+  def applyDiscard(df: DataFrame, reason: Column, pin: Boolean = false): Discarded = {
+    val marked0 = df.withColumn("__reason", reason)
+    val marked = if (pin) marked0.localCheckpoint(true) else marked0
     Discarded(
       kept = marked.filter(col("__reason").isNull).drop("__reason")
         .observe("discard_kept", count(lit(1)).as("rows")),

@@ -65,12 +65,16 @@ object TextAnalysis {
     val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]")))
     val hashCount = length(t) - length(regexp_replace(t, "#", ""))
     val ellipsisCount = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    // empty/whitespace docs are well-defined (0.0 ratios), not null — real
+    // corpora have them even though the synthetic tables do not
+    def ratio(num: Column): Column =
+      when(nWords > 0, num.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
     docs.select(
       col(idCol),
       nWords.cast("int").as("n_words"),
-      (sumLen.cast("double") / nWords.cast("double")).as("mean_word_len"),
-      (nAlpha.cast("double") / nWords.cast("double")).as("alpha_word_frac"),
-      ((hashCount + ellipsisCount).cast("double") / nWords.cast("double")).as("symbol_word_ratio"))
+      ratio(sumLen).as("mean_word_len"),
+      ratio(nAlpha).as("alpha_word_frac"),
+      ratio(hashCount + ellipsisCount).as("symbol_word_ratio"))
   }
 
   // --- Language identification (n-gram / stopword heuristic) --------------

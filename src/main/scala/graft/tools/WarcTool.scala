@@ -185,10 +185,18 @@ object WarcTool {
         case x if x.startsWith("--threads=") => x.stripPrefix("--threads=").toInt
       }.getOrElse(Runtime.getRuntime.availableProcessors())
       val json = flags.contains("--json")
+      // paths can carry quotes/backslashes/control chars — escape them or
+      // the emitted line is not JSON
+      def jstr(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       val reports = verifyReports(files, threads, quiet = json)
       reports.foreach { rep =>
         if (json)
-          println(s"""{"file":"${rep.file}","valid":${rep.valid},"errors":${rep.errors},"count":${rep.count},"allRecordsRead":${rep.allRecordsRead}}""")
+          println(s"""{"file":${jstr(rep.file)},"valid":${rep.valid},"errors":${rep.errors},"count":${rep.count},"allRecordsRead":${rep.allRecordsRead}}""")
         else
           println(s"checked file=${rep.file} valid=${rep.valid} errors=${rep.errors} count=${rep.count} allRecordsRead=${rep.allRecordsRead}")
       }
@@ -222,9 +230,26 @@ object WarcTool {
       // reader blocks acquiring a permit past that
       val gate = new java.util.concurrent.Semaphore(threads)
       val failures = new java.util.concurrent.atomic.AtomicInteger(0)
-      // serializes the exists/collision-naming decision so two concurrent
-      // records with the same target name can't both claim one path
-      val nameLock = new Object
+      // Per-target-path serialization: the whole decide-and-write critical
+      // section for one base name runs under that name's in-flight latch,
+      // so a later record with the same target waits for the prior WRITER
+      // (not just the name reservation) to finish — its exists/digest
+      // decision then reads a complete file. Records with different names
+      // (the common case) stay fully parallel. Suffixed collision names
+      // embed the base name, so the base-name latch covers them too.
+      val inFlight =
+        new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+      def withPathLock[T](key: String)(body: => T): T = {
+        while (true) {
+          val latch = new java.util.concurrent.CountDownLatch(1)
+          val prev = inFlight.putIfAbsent(key, latch)
+          if (prev == null) {
+            try return body
+            finally { inFlight.remove(key); latch.countDown() }
+          } else prev.await()
+        }
+        throw new IllegalStateException("unreachable")
+      }
 
       def processRecord(r: graft.codec.SpooledWarcRecord): Unit =
         try {
@@ -248,39 +273,48 @@ object WarcTool {
             // existing file → skip unless --allow-overwrite; with
             // --hash-suffix an identical payload skips, a different one
             // gets a digest-suffixed name (which itself only overwrites
-            // under --allow-overwrite)
-            val out: Option[java.io.File] = nameLock.synchronized {
-              var o = new java.io.File(parent, name)
-              if (!o.exists()) { o.createNewFile(); Some(o) }
-              else if (hashSuffix) {
-                // streaming compare: sha1 of the existing file vs a fresh
-                // decode pass over the spool — nothing materializes
-                val fin = new java.io.BufferedInputStream(new FileInputStream(o), 1 << 16)
-                val existingSha = try streamDigest(fin, "SHA-1") finally fin.close()
-                val newSha = streamDigest(
-                  HttpCodec.decodedBodyStream(r.payload.inputStream())._2, "SHA-1")
-                if (java.util.Arrays.equals(existingSha, newSha)) None // identical: skip
-                else {
-                  o = new java.io.File(parent, hashSuffixName(name, Digests.base32(newSha)))
-                  if (o.exists() && !allowOverwrite) None
-                  else { o.createNewFile(); Some(o) }
-                }
-              } else if (allowOverwrite) Some(o)
-              else None
-            }
-            out match {
-              case None => println(s"skipped ${new java.io.File(parent, name).getPath} (exists)")
-              case Some(outFile) =>
-                val sink = new java.io.BufferedOutputStream(
-                  new java.io.FileOutputStream(outFile), 1 << 16)
-                var written = 0L
-                try {
-                  val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
-                  val buf = new Array[Byte](64 << 10)
-                  var n = body.read(buf)
-                  while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
-                } finally sink.close()
-                println(s"wrote ${outFile.getPath} ($written B, $ct)")
+            // under --allow-overwrite). Decision AND write run under the
+            // base name's path latch; the body goes to a temp file and
+            // atomically renames into place, so a visible file is always
+            // complete (never a half-written digest-compare victim).
+            withPathLock(new java.io.File(parent, name).getPath) {
+              val out: Option[java.io.File] = {
+                var o = new java.io.File(parent, name)
+                if (!o.exists()) Some(o)
+                else if (hashSuffix) {
+                  // streaming compare: sha1 of the existing file vs a fresh
+                  // decode pass over the spool — nothing materializes
+                  val fin = new java.io.BufferedInputStream(new FileInputStream(o), 1 << 16)
+                  val existingSha = try streamDigest(fin, "SHA-1") finally fin.close()
+                  val newSha = streamDigest(
+                    HttpCodec.decodedBodyStream(r.payload.inputStream())._2, "SHA-1")
+                  if (java.util.Arrays.equals(existingSha, newSha)) None // identical: skip
+                  else {
+                    o = new java.io.File(parent, hashSuffixName(name, Digests.base32(newSha)))
+                    if (o.exists() && !allowOverwrite) None
+                    else Some(o)
+                  }
+                } else if (allowOverwrite) Some(o)
+                else None
+              }
+              out match {
+                case None => println(s"skipped ${new java.io.File(parent, name).getPath} (exists)")
+                case Some(outFile) =>
+                  val tmp = java.io.File.createTempFile("." + outFile.getName + "-", ".part", parent)
+                  val sink = new java.io.BufferedOutputStream(
+                    new java.io.FileOutputStream(tmp), 1 << 16)
+                  var written = 0L
+                  try {
+                    val body = HttpCodec.decodedBodyStream(r.payload.inputStream())._2
+                    val buf = new Array[Byte](64 << 10)
+                    var n = body.read(buf)
+                    while (n != -1) { sink.write(buf, 0, n); written += n; n = body.read(buf) }
+                  } finally sink.close()
+                  java.nio.file.Files.move(tmp.toPath, outFile.toPath,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  println(s"wrote ${outFile.getPath} ($written B, $ct)")
+              }
             }
           }
         } catch {

@@ -24,6 +24,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3) == ((3L, 10, 5, 0, 0, 5)))
   }
 
+  test("gopherRules: empty/whitespace docs get 0.0 ratios, never null") {
+    val docs = Seq(
+      (0L, "two short words"),
+      (1L, ""),
+      (2L, "   \t  "),
+      (3L, "### ...")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs)
+      .as[(Long, Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 3, 13.0 / 3, 1.0, 0.0)))
+    assert(out(1) == ((1L, 0, 0.0, 0.0, 0.0)), "empty doc must be 0.0, not null")
+    assert(out(2) == ((2L, 0, 0.0, 0.0, 0.0)), "whitespace doc must be 0.0, not null")
+    assert(out(3)._2 == 2 && out(3)._5 == 2.0) // 3 hashes + 1 ellipsis over 2 words
+  }
+
   test("langId detects the generator's language on non-empty docs") {
     val pages = PagesGen.pages(spark, 2000, 20, 42L).toDF()
       .filter(length(col("text")) > 0 && col("lang").isin("en", "fr", "de", "ja"))

@@ -62,6 +62,38 @@ class WarcToolSpec extends AnyFunSuite {
       new java.io.File(dir, "dup.txt").toPath), UTF_8) == "first body")
   }
 
+  test("extract --threads --hash-suffix: same-name flood never skips on or overwrites a partial file") {
+    // 40 records, ALL with the same target name, 4 distinct payloads: the
+    // digest compare of every later record must run against a COMPLETE
+    // prior file (per-path latch + temp-file atomic rename), so the final
+    // state is exactly one file per distinct payload, each intact
+    val dir = Files.createTempDirectory("wt-race").toString
+    val warc = Files.createTempDirectory("wt-warc").resolve("race.warc.gz").toString
+    def response(url: String, body: String): graft.codec.WarcRecord = {
+      val html = HttpCodec.buildResponse(200, "OK",
+        Seq("Content-Type" -> "text/plain",
+          "Content-Length" -> body.getBytes(UTF_8).length.toString),
+        body.getBytes(UTF_8))
+      graft.sources.WarcIO.pageToRecord(url, new java.sql.Timestamp(1647748545000L), html)
+    }
+    val payloads = (0 until 4).map(i => s"payload-$i-" + ("x" * (40000 + i * 7)))
+    val out = new java.io.FileOutputStream(warc)
+    val w = Codecs.memberWriter(out, Codecs.GzipCompression)
+    (0 until 40).foreach { i =>
+      w.writeMember(WarcCodec.serialize(
+        response(s"https://h$i.example/same.txt", payloads(i % 4))))
+    }
+    w.close(); out.close()
+    WarcTool.main(Array("extract", warc, dir, "--hash-suffix", "--threads=8"))
+    val files = new java.io.File(dir).listFiles().toSeq
+    assert(!files.exists(_.getName.endsWith(".part")), "no temp files may remain")
+    val contents = files.map(f => new String(Files.readAllBytes(f.toPath), UTF_8))
+    assert(files.length == 4,
+      s"expected one file per distinct payload, got ${files.map(_.getName).mkString(",")}")
+    assert(contents.toSet == payloads.toSet,
+      "every visible file must be a complete copy of one distinct payload")
+  }
+
   test("extractName: 255-byte clamp counts UTF-8 BYTES at codepoint boundaries") {
     // 'é' is 2 UTF-8 bytes: 200 of them = 400 bytes, over the limit
     val long = "é" * 200 + ".txt"
