@@ -33,7 +33,9 @@ object TableIO {
       // per-partition lineage: data file name -> rows (north_star: each
       // snapshot records which files carry which rows, like an Iceberg
       // manifest's per-file stats)
-      files: Map[String, Long] = Map.empty)
+      files: Map[String, Long] = Map.empty,
+      // commit wall-clock (ms): Iceberg-style AS OF <timestamp> resolution
+      committedAtMs: Long = 0L)
 
   private def mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -68,7 +70,10 @@ object TableIO {
       }.getOrElse(Map.empty),
       files = Option(node.get("files")).map { f =>
         f.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // pre-timestamp manifests fall back to the manifest file's mtime
+      committedAtMs = Option(node.get("committedAtMs")).map(_.asLong()).getOrElse(
+        Files.getLastModifiedTime(manifestDir(table).resolve(s"snap-$id.json")).toMillis))
   }
 
   /** Per-file row counts from the parquet footers (metadata-only reads,
@@ -109,7 +114,8 @@ object TableIO {
       org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").parquet(dataDir)
     val rows = obs.get("rows").asInstanceOf[Long]
-    val snap = Snapshot(id, parent, dataDir, rows, counters, fileLineage(dataDir))
+    val snap = Snapshot(id, parent, dataDir, rows, counters, fileLineage(dataDir),
+      committedAtMs = System.currentTimeMillis())
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
     val json = mapper.createObjectNode()
@@ -117,6 +123,7 @@ object TableIO {
     snap.parentId.foreach(p => json.put("parentId", p))
     json.put("dataDir", snap.dataDir)
     json.put("rowCount", snap.rowCount)
+    json.put("committedAtMs", snap.committedAtMs)
     val cnode = json.putObject("counters")
     snap.counters.toSeq.sortBy(_._1).foreach { case (k, v) => cnode.put(k, v) }
     val fnode = json.putObject("files")
@@ -135,4 +142,19 @@ object TableIO {
     val sid = id.orElse(latestSnapshotId(table))
     sid.map(s => spark.read.parquet(readManifest(table, s).dataDir))
   }
+
+  /** Iceberg `AS OF <timestamp>` resolution: the newest snapshot whose
+    * commit time is ≤ `tsMs`. Snapshot ids are committed in increasing
+    * order, so commit times are monotone in id and the scan is a simple
+    * last-match over the manifest list (O(snapshots) driver metadata). */
+  def snapshotAsOf(table: String, tsMs: Long): Option[Long] =
+    listSnapshots(table)
+      .map(id => id -> readManifest(table, id).committedAtMs)
+      .filter(_._2 <= tsMs)
+      .lastOption.map(_._1)
+
+  /** Read the table as of a wall-clock timestamp (None when no snapshot
+    * had been committed by then). */
+  def readAsOf(spark: SparkSession, table: String, tsMs: Long): Option[DataFrame] =
+    snapshotAsOf(table, tsMs).map(id => spark.read.parquet(readManifest(table, id).dataDir))
 }

@@ -30,6 +30,22 @@ class TableIOSpec extends AnyFunSuite {
     assert(TableIO.read(spark, s"$dir/nope", None).isEmpty)
   }
 
+  test("timestamp time travel: readAsOf resolves the newest snapshot ≤ ts") {
+    val dir = Files.createTempDirectory("graft-asof").toString
+    val t = s"$dir/t"
+    val s0 = TableIO.commit(Seq((1L, "a")).toDF("k", "v"), t)
+    Thread.sleep(5)
+    val s1 = TableIO.commit(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    assert(s1.committedAtMs >= s0.committedAtMs && s0.committedAtMs > 0L)
+    assert(TableIO.snapshotAsOf(t, s0.committedAtMs - 1).isEmpty,
+      "before the first commit there is nothing to read")
+    assert(TableIO.snapshotAsOf(t, s0.committedAtMs).contains(0L))
+    assert(TableIO.snapshotAsOf(t, s1.committedAtMs - 1).contains(0L))
+    assert(TableIO.snapshotAsOf(t, System.currentTimeMillis() + 1000).contains(1L))
+    assert(TableIO.readAsOf(spark, t, s0.committedAtMs).get.count() == 1L)
+    assert(TableIO.readAsOf(spark, t, System.currentTimeMillis() + 1000).get.count() == 2L)
+  }
+
   test("crawl resumes exactly from a committed snapshot") {
     val N = 1500L
     val pages = PagesGen.pages(spark, N, 10, 42L).toDF()
