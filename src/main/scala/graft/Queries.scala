@@ -774,7 +774,11 @@ object Queries {
           transform(col("base"), (x, i) =>
             (x + (pmod(col("vec_id") * 787 + i * 37, lit(512)) - 256).cast("double")
               / lit(16384.0)).cast("float")).as("embedding"))
-      val cents = Similarity.initCentroids(corpus, nCells = 16, "vec_id", "embedding")
+      // 3 deterministic fixed-point Lloyd iterations on top of the hash-min
+      // init: the codebook the scale path would actually serve
+      val cents = Similarity.refineCentroids(corpus,
+        Similarity.initCentroids(corpus, nCells = 16, "vec_id", "embedding"),
+        iterations = 3)
       val indexed = Similarity.ivfAssign(corpus, cents)
       Similarity.ivfTopK(corpus.filter(col("vec_id") < 5), indexed, cents, k = 10, nProbe = 4)
         .orderBy("query_id", "rank")

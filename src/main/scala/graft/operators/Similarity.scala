@@ -83,6 +83,57 @@ object Similarity {
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
 
+  /** Lloyd refinement of the IVF codebook in FIXED-POINT arithmetic (the
+    * hostRank trick applied to k-means): each iteration assigns every
+    * vector to its nearest cell (the same broadcast argmax kernel the
+    * index uses), then recomputes each centroid as the member mean with
+    * components summed as `round(v·2^scaleBits)` LONGs — integer sums are
+    * order-independent across partitions, so the refined codebook is a
+    * pure function of (corpus, init), bitwise reproducible at any
+    * parallelism (float means are not: double addition reorders under
+    * shuffle). Mean = (sum div n) / 2^scaleBits, truncating division.
+    * Empty cells keep their previous centroid.
+    *
+    * Scale shape: per iteration = one narrow assign pass + one
+    * (cell, dim)-key aggregate whose result is exactly codebook-sized —
+    * the same driver footprint ivfAssign's broadcast already pays. */
+  def refineCentroids(corpus: DataFrame, centroids: DataFrame, iterations: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      scaleBits: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scale = (1L << scaleBits).toDouble
+    var cents = centroids
+    var it = 0
+    while (it < iterations) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      val agg = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(round(col("v").cast("double") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = agg.groupBy(_.getLong(0))
+      val newRows = cents.select(col("cell_id"), col("centroid")).orderBy("cell_id").collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val prev = r.getSeq[Float](1).toArray
+          byCell.get(id) match {
+            case Some(comps) =>
+              val arr = prev.clone()
+              comps.foreach { c =>
+                arr(c.getInt(1)) = ((c.getLong(2) / c.getLong(3)) / scale).toFloat
+              }
+              (id, arr.toSeq)
+            case None => (id, prev.toSeq)
+          }
+        }
+      cents = newRows.toSeq.toDF("cell_id", "centroid")
+      it += 1
+    }
+    cents
+  }
+
   /** IVF index: assign each corpus vector to its nearest centroid cell —
     * a single narrow argmax projection against the broadcast codebook
     * (zero shuffles, zero row blow-up; a cross-join + per-id window would

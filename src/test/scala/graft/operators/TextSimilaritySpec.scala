@@ -130,6 +130,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.6, f"IVF mean recall@10 = $meanRecall%.2f (nProbe=8/16 cells)")
   }
 
+  test("refineCentroids: fixed-point Lloyd matches a sequential replay at any parallelism") {
+    // 3 tight clusters in 4-d; init deliberately poor (hash-min sample)
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 1f))
+    val corpus = (0L until 60L).map { i =>
+      val b = base((i % 3).toInt)
+      (i, b.zipWithIndex.map { case (x, d) =>
+        x + ((i * 31 + d * 7) % 11 - 5).toFloat / 64f })
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val cents0 = Similarity.initCentroids(df, nCells = 3, "vec_id", "embedding")
+    val refined = Similarity.refineCentroids(df, cents0, iterations = 3)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+    // sequential replay of the same fixed-point formula
+    val scale = (1L << 20).toDouble
+    var cents = cents0.as[(Long, Array[Float])].collect().sortBy(_._1)
+    (1 to 3).foreach { _ =>
+      val ids = cents.map(_._1)
+      val vecs = cents.map(_._2)
+      val members = corpus.groupBy { case (_, v) =>
+        var best = 0; var bestCos = -2.0
+        vecs.zipWithIndex.foreach { case (c, i) =>
+          val cos = graft.codec.Hashing.cosineF32(v, c)
+          if (cos > bestCos) { bestCos = cos; best = i }
+        }
+        ids(best)
+      }
+      cents = cents.map { case (id, prev) =>
+        members.get(id) match {
+          case Some(ms) =>
+            id -> prev.indices.map { d =>
+              val s = ms.map(m => math.round(m._2(d).toDouble * scale)).sum
+              ((s / ms.size) / scale).toFloat
+            }.toArray
+          case None => id -> prev
+        }
+      }
+    }
+    assert(refined.map(_._1).toSeq == cents.map(_._1).toSeq)
+    refined.zip(cents).foreach { case ((id, got), (_, want)) =>
+      assert(got.toSeq == want.toSeq, s"cell $id diverged from the sequential replay")
+    }
+    // bitwise invariant to input partitioning (integer sums reorder freely)
+    val refined2 = Similarity.refineCentroids(df.repartition(7), cents0, iterations = 3)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(refined2.map(_._2.toSeq).toSeq == refined.map(_._2.toSeq).toSeq)
+    // (no cluster-recovery assertion: Lloyd converges to a LOCAL optimum —
+    // a hash-min init that samples one cluster twice legitimately keeps it
+    // split; the contract here is bitwise determinism, not global optima)
+  }
+
+  test("IVF recall does not regress with Lloyd-refined centroids") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val cents0 = Similarity.initCentroids(embs, nCells = 16, "vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(queries, embs, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val indexed = Similarity.ivfAssign(embs, cents)
+      val ivf = Similarity.ivfTopK(queries, indexed, cents, k = 10, nProbe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      brute.map { case (q, truth) =>
+        ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / brute.size
+    }
+    val raw = recall(cents0)
+    val refined = recall(Similarity.refineCentroids(embs, cents0, iterations = 3))
+    assert(refined >= raw - 0.02,
+      f"refinement regressed recall: raw=$raw%.3f refined=$refined%.3f")
+    assert(refined >= 0.6, f"refined recall@10 = $refined%.3f")
+  }
+
   test("int8-quantized top-k: high recall and tight cosine error vs full precision") {
     val queries = embs.filter(col("vec_id") < 20)
     val quant = Similarity.quantizedTopK(queries, embs, k = 10)
