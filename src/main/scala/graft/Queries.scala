@@ -352,7 +352,9 @@ object Queries {
       // PagesGen-web conformance (all 4 HTTP transfer modes, sequential
       // reference simulation) stays in CrawlSpec.
       import s.implicits._
-      val web = Crawl.asWeb(Queries.webLite(s, dir))
+      // the web is joined in EVERY round's job: checkpoint it once so each
+      // round plans and scans a leaf, not the full derivation
+      val web = Crawl.asWeb(Queries.webLite(s, dir)).localCheckpoint(true)
       val politeness = (0 until 7).map(h => (s"host$h.example", 1 + h % 3))
         .toDF("host", "budget")
       val robots = (0 until 7).filter(_ % 2 == 0)
@@ -370,13 +372,24 @@ object Queries {
       for (r <- 1 to 3) {
         val o = Crawl.round(frontier, seen, web, Some(robots), Some(politeness),
           cfg, withCounters = false)
-        val tagged = o.fetched.select(lit(r).as("round"), col("url_norm"),
-          col("depth"), col("batch_rank"), col("is_revisit"),
-          col("refers_to_url"), col("text_ok")).localCheckpoint(true)
+        // ONE materialization per round: captures + new-seen + next
+        // frontier ride a single tagged union through one eager
+        // localCheckpoint (3 driver actions/round → 1; at 89-url scale the
+        // fixed per-action cost dominated the whole query)
+        val ck = o.fetched.select(lit(0).as("__t"), lit(r).as("round"),
+            col("url_norm"), col("depth"), col("batch_rank"),
+            col("is_revisit"), col("refers_to_url"), col("text_ok"))
+          .unionByName(o.newSeen.select(lit(1).as("__t"), col("url_hash"),
+            col("url_norm")), allowMissingColumns = true)
+          .unionByName(o.nextFrontier.select(lit(2).as("__t"), col("url"),
+            col("depth"), col("warc_ts")), allowMissingColumns = true)
+          .localCheckpoint(true)
+        val tagged = ck.filter(col("__t") === 0).select("round", "url_norm",
+          "depth", "batch_rank", "is_revisit", "refers_to_url", "text_ok")
         out = Some(out.map(_.unionByName(tagged)).getOrElse(tagged))
-        seen = Some(seen.map(_.unionByName(o.newSeen)).getOrElse(o.newSeen)
-          .localCheckpoint(true))
-        frontier = o.nextFrontier.localCheckpoint(true)
+        val newSeen = ck.filter(col("__t") === 1).select("url_hash", "url_norm")
+        seen = Some(seen.map(_.unionByName(newSeen)).getOrElse(newSeen))
+        frontier = ck.filter(col("__t") === 2).select("url", "depth", "warc_ts")
         o.release()
       }
       out.get.orderBy("round", "url_norm")

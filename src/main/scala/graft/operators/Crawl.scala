@@ -46,6 +46,28 @@ object Crawl {
       Seq(col("page_ts").asc, col("url_norm").asc))
   }
 
+  /** A3 global counters over a round's captures. Exposed as expressions so
+    * `crawl` can ride them on the round's ONE materialization via
+    * `observe` — no separate aggregation job per round. */
+  private val counterAggs = Seq(
+    count(lit(1)).as("fetched"),
+    sum(when(col("is_revisit"), 1L).otherwise(0L)).as("revisits"),
+    sum(when(col("text_ok"), 0L).otherwise(1L)).as("text_mismatches"),
+    sum(col("payload_len")).as("payload_bytes"),
+    sum(when(col("is_revisit"), col("payload_len")).otherwise(0L)).as("dedupe_saved_bytes"))
+
+  private def countersFromObs(m: Map[String, Any]): Map[String, Long] =
+    Seq("fetched", "revisits", "text_mismatches", "payload_bytes", "dedupe_saved_bytes")
+      .map(k => k -> Option(m.getOrElse(k, null)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      .toMap
+
+  private def countersFromRow(row: org.apache.spark.sql.Row): Map[String, Long] = Map(
+    "fetched" -> row.getLong(0),
+    "revisits" -> Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+    "text_mismatches" -> Option(row.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+    "payload_bytes" -> Option(row.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L),
+    "dedupe_saved_bytes" -> Option(row.get(4)).map(_.asInstanceOf[Long]).getOrElse(0L))
+
   /** One frontier round. `web` must be the asWeb() shape. Seen-state comes
     * from either `seenStore` (the partitioned scale path) or `seen` (an
     * in-memory DataFrame for small crawls/tests) — store wins if both. */
@@ -112,21 +134,7 @@ object Crawl {
 
     val counters: Map[String, Long] =
       if (!withCounters) Map.empty
-      else {
-        val row = fetched.agg(
-          count(lit(1)).as("fetched"),
-          sum(when(col("is_revisit"), 1L).otherwise(0L)).as("revisits"),
-          sum(when(col("text_ok"), 0L).otherwise(1L)).as("text_mismatches"),
-          sum(col("payload_len")).as("payload_bytes"),
-          sum(when(col("is_revisit"), col("payload_len")).otherwise(0L)).as("dedupe_saved_bytes")
-        ).collect()(0)
-        Map(
-          "fetched" -> row.getLong(0),
-          "revisits" -> Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
-          "text_mismatches" -> Option(row.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
-          "payload_bytes" -> Option(row.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L),
-          "dedupe_saved_bytes" -> Option(row.get(4)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      }
+      else countersFromRow(fetched.agg(counterAggs.head, counterAggs.tail: _*).collect()(0))
 
     val release = () => {
       allowed.unpersist(); scheduled.unpersist(); fetched.unpersist()
@@ -192,10 +200,19 @@ object Crawl {
       case _ => None
     }
 
+    // Frontier emptiness is TRACKED, not queried: seeds are driver-side, a
+    // durable resume has the manifest's rowCount, and each round's next
+    // frontier reports its count through the round's one materialization —
+    // the old `frontier.isEmpty` was a whole extra job per round
+    var frontierCount: Long = resumedRound match {
+      case Some(id) => TableIO.readManifest(frontierTable.get, id).rowCount
+      case None => seeds.size.toLong
+    }
+
     var r = startRound
     var done = false
     while (r < startRound + maxRounds && !done) {
-      if (frontier.isEmpty) done = true
+      if (frontierCount == 0) done = true
       else {
         // cross-round digest dedup: the bucketed index accumulates every
         // prior round's first-captures (the reference's crawl-lifetime
@@ -210,8 +227,7 @@ object Crawl {
           case (c, idx) => c.orElse(idx)
         }
         val out = round(frontier, seen, web, robots, politeness, cfg,
-          seenStore = store, cdx = roundCdx)
-        allCounters :+= out.counters
+          withCounters = false, seenStore = store, cdx = roundCdx)
         // Pin this round's rows BEFORE release() so the round cache can be
         // dropped below. Durable (stateDir set): TableIO snapshot keyed by
         // round — survives executor loss and feeds resume; committed FIRST
@@ -219,11 +235,17 @@ object Crawl {
         // orphan that the replayed round idempotently overwrites.
         // In-memory: eager localCheckpoint (truncated lineage, one compact
         // RDD per round). Either way the accumulator is a shallow union of
-        // leaf scans, never a chain of full per-round pipelines.
+        // leaf scans, never a chain of full per-round pipelines — and the
+        // A3 counters ride this SAME materialization via observe (the old
+        // separate aggregation job per round is gone).
+        val obs = org.apache.spark.sql.Observation()
+        val observed = out.fetched.observe(obs, counterAggs.head, counterAggs.tail: _*)
         val roundFetched = fetchedTable match {
-          case Some(_) => graft.state.Durable.pin(out.fetched, fetchedTable, r.toLong)
-          case None => out.fetched.localCheckpoint(true)
+          case Some(_) => graft.state.Durable.pin(observed, fetchedTable, r.toLong)
+          case None => observed.localCheckpoint(true)
         }
+        val counters = countersFromObs(obs.get)
+        allCounters :+= counters
         // optional archival sink: the round's captures as rotated WARC
         // (responses + truncated revisit records, K3 semantics)
         warcDir.foreach(d =>
@@ -236,8 +258,9 @@ object Crawl {
         digestIndex.foreach(DigestIndex.append(roundFetched, _))
         (store, frontierTable) match {
           case (Some(st), Some(ft)) =>
-            TableIO.commitAs(out.nextFrontier, ft, r.toLong, Map("round" -> r.toLong))
-            st.append(out.newSeen, r.toLong, out.counters)
+            val snap = TableIO.commitAs(out.nextFrontier, ft, r.toLong, Map("round" -> r.toLong))
+            frontierCount = snap.rowCount // manifest metadata, no extra scan
+            st.append(out.newSeen, r.toLong, counters)
             // periodic log-structured compaction keeps the probe chain O(1)
             // in rounds (a 1,000-round crawl would otherwise pay 1,000
             // sketch checks per candidate)
@@ -247,18 +270,27 @@ object Crawl {
             }
             frontier = TableIO.read(spark, ft, Some(r.toLong)).get
           case _ =>
-            val seenNext = seen match {
-              case None => out.newSeen
-              case Some(s) => s.unionByName(out.newSeen)
-            }
-            // eager localCheckpoint: truncates the per-round plan lineage
+            // ONE eager localCheckpoint materializes the seen increment AND
+            // the next frontier (tagged union, split back by filter over the
+            // checkpointed leaf): truncates the per-round plan lineage
             // (digestDedup's union branches would otherwise double the
-            // logical plan every round) and materializes before release();
-            // re-checkpointing the accumulator each round replaces the
-            // previous checkpoint RDD, so the cached-seen footprint stays
-            // one RDD, not one per round
-            seen = Some(seenNext.localCheckpoint(true))
-            frontier = out.nextFrontier.localCheckpoint(true)
+            // logical plan every round), materializes before release(), and
+            // carries the next frontier's row count as an observed metric —
+            // this round's ONLY other job besides the capture pin
+            val stObs = org.apache.spark.sql.Observation()
+            val ck = out.newSeen
+              .select(lit(1).as("__t"), col("url_hash"), col("url_norm"))
+              .unionByName(out.nextFrontier.select(lit(2).as("__t"), col("url"),
+                col("depth"), col("warc_ts")), allowMissingColumns = true)
+              .observe(stObs, count(when(col("__t") === 2, 1)).as("nf"))
+              .localCheckpoint(true)
+            val newSeen = ck.filter(col("__t") === 1).select("url_hash", "url_norm")
+            seen = Some(seen match {
+              case None => newSeen
+              case Some(s) => s.unionByName(newSeen)
+            })
+            frontier = ck.filter(col("__t") === 2).select("url", "depth", "warc_ts")
+            frontierCount = stObs.get("nf").asInstanceOf[Long]
         }
         // round caches (allowed/scheduled/fetched) are no longer referenced:
         // everything downstream reads the checkpoint or durable state

@@ -14,6 +14,23 @@ object QueryBench {
     val passes = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
+    // GRAFT_NO_AQE=1: quantify AQE's per-stage replan overhead on a query
+    // (diagnostic only — the engine default keeps AQE on)
+    if (sys.env.contains("GRAFT_NO_AQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // GRAFT_JOB_LOG=1: per-job wall times on stderr (where does a slow
+    // query's time actually go — scheduling, planning, or compute?)
+    if (sys.env.contains("GRAFT_JOB_LOG")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(j.jobId)
+          System.err.println(f"JOB ${j.jobId} ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      })
+    }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // full evaluation of the query's own output — count() alone lets the

@@ -358,13 +358,16 @@ class FrontierSpec extends AnyFunSuite {
     }
     assert(leftover.isEmpty,
       s"round caches must be released after each round, leftover: ${leftover.map(_.name)}")
-    // the only retained RDDs are the per-round result checkpoints — the
-    // data crawl() returns — exactly one per round, so a 50-round crawl
-    // holds 50 compact row sets, not 50 full cached pipelines
+    // durable mode retains NOTHING in executor storage: per-round captures
+    // are TableIO snapshots (one per round, parquet on disk), and the
+    // returned accumulator is a union of file scans — a 50-round crawl
+    // pins zero RDDs and survives executor loss
     val ckpts = sc.getPersistentRDDs.count {
       case (id, rdd) => !before.contains(id) && rdd.isCheckpointed
     }
-    assert(ckpts == rounds, s"expected $rounds result checkpoints, got $ckpts")
+    assert(ckpts == 0, s"durable crawl must pin no checkpoint RDDs, got $ckpts")
+    assert(graft.state.TableIO.listSnapshots(dir + "/fetched") ==
+      (0L until rounds.toLong), "one captures snapshot per round")
     // periodic compaction keeps the probe chain O(1) in rounds: at cadence
     // 4 at most 4 banks (1 compacted + ≤3 fresh) are ever probe-visible
     val store = graft.state.SeenStore(dir + "/seen")
