@@ -94,34 +94,39 @@ object Bench {
     }
     val recs = parseOnce()
     val rawBytes = recs.map(_.content.length.toLong).sum
-    // warmup + timed read loop (parse + digest recheck, like the reference)
-    (1 to 50).foreach(_ => parseOnce().foreach(_.computedBlockDigest))
-    val n = 300
-    val t0 = System.nanoTime()
-    var i = 0
-    while (i < n) {
-      parseOnce().foreach(r => require(r.computedBlockDigest == r.blockDigest))
-      i += 1
+    // Methodology (r3 lesson: a 74 MB/s "regression" was an under-warmed
+    // 70 ms window, not code — fresh-JVM passes 2-3 measure 92-105):
+    // warm until JIT settles, then take the MEDIAN of 3 windows, each long
+    // enough (n=1500 ≈ 0.4 s read) that scheduler jitter can't dominate.
+    def medianOf3(window: () => Double): Double =
+      Seq(window(), window(), window()).sorted.apply(1)
+    // read = parse + per-record digest recheck, like the reference
+    (1 to 200).foreach(_ => parseOnce().foreach(_.computedBlockDigest))
+    val n = 1500
+    val readSec = medianOf3 { () =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) {
+        parseOnce().foreach(r => require(r.computedBlockDigest == r.blockDigest))
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val readSec = (System.nanoTime() - t0) / 1e9
-    // timed write loop (serialize + fresh gzip member per record)
-    (1 to 50).foreach(_ => recs.foreach { r =>
+    // write = serialize + fresh gzip member per record
+    def writeAll(): Unit = recs.foreach { r =>
       val bos = new java.io.ByteArrayOutputStream()
       val g = new java.util.zip.GZIPOutputStream(bos)
       g.write(graft.codec.WarcCodec.serialize(r)); g.close()
-    })
-    val t1 = System.nanoTime()
-    i = 0
-    while (i < n) {
-      recs.foreach { r =>
-        val bos = new java.io.ByteArrayOutputStream()
-        val g = new java.util.zip.GZIPOutputStream(bos)
-        g.write(graft.codec.WarcCodec.serialize(r)); g.close()
-      }
-      i += 1
     }
-    val writeSec = (System.nanoTime() - t1) / 1e9
-    (rawBytes * n / 1e6 / readSec, rawBytes * n / 1e6 / writeSec)
+    (1 to 100).foreach(_ => writeAll())
+    val wn = 600
+    val writeSec = medianOf3 { () =>
+      val t1 = System.nanoTime()
+      var i = 0
+      while (i < wn) { writeAll(); i += 1 }
+      (System.nanoTime() - t1) / 1e9
+    }
+    (rawBytes * n / 1e6 / readSec, rawBytes * wn / 1e6 / writeSec)
   }
 
   /** Full evaluation of the query's own output columns. A bare count()
