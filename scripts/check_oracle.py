@@ -4,7 +4,10 @@ in DuckDB over the sf tables and compare with the Spark parquet dumps that
 graft.Verify wrote. Compares schema (column names sorted), row count, and
 values both in-order and as sorted multisets.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a CORRECTNESS-shaped JSON summary (the standing
+sf0.1 sweep artifact, e.g. SWEEP_r04.json).
 """
 import sys, json, glob, math
 import duckdb
@@ -32,17 +35,24 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    summary = {}
+    def record(name, rows_match, schema_match, hash_match, srows, orows, err):
+        summary[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": srows,
+                         "oracle_rows": orows, "err": err}
     for name in sorted(oracle):
         sql = oracle[name]
         try:
             duck = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, False, False, 0, 0, f"oracle SQL error: {e}")
             n_fail += 1
             continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, False, False, 0, 0, "no spark output")
             n_fail += 1
             continue
         spark = con.execute(
@@ -50,10 +60,13 @@ def main():
         duck_c, spark_c = canon(duck), canon(spark)
         if list(duck_c.columns) != list(spark_c.columns):
             print(f"FAIL {name}: columns {list(spark_c.columns)} != oracle {list(duck_c.columns)}")
+            record(name, len(duck_c) == len(spark_c), False, False,
+                   len(spark_c), len(duck_c), None)
             n_fail += 1
             continue
         if len(duck_c) != len(spark_c):
             print(f"FAIL {name}: rows {len(spark_c)} != oracle {len(duck_c)}")
+            record(name, False, True, False, len(spark_c), len(duck_c), None)
             n_fail += 1
             continue
         # dtype comparison (parquet physical types must agree)
@@ -71,11 +84,16 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+            record(name, True, True, False, len(spark_c), len(duck_c), None)
             n_fail += 1
         else:
             note = f" (dtype diff: {dt_mism})" if dt_mism else ""
             print(f"PASS {name}: {len(sr)} rows{note}")
+            record(name, True, True, True, len(sr), len(dr), None)
             n_pass += 1
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(summary, f, indent=2, sort_keys=True)
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 

@@ -617,9 +617,14 @@ object Queries {
       // (every within-cluster pair, hamming 0 — identical texts — and no
       // cross-cluster pair survives ≤3 of 64 bits). The full output incl.
       // natural near-dups is brute-force-verified in TextSimilaritySpec.
+      // maxBucket sized above the largest planted cluster at the sweep
+      // scale (sf0.1: ~195 members): 16-bit-quarter blocking buckets admit
+      // random collisions, so a truncated slice is not SQL-replayable
+      // (unlike d02/d05's collision-free minhash buckets, whose oracles
+      // replay the cap exactly); cap OBSERVABILITY is tested in DedupSpec
       Dedup.simhashPairs(
         t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
-        textCol = "text2", k = 3, maxHamming = 3)
+        textCol = "text2", k = 3, maxHamming = 3, maxBucket = 1024)
         .filter(col("id_a") % 11 < 3 && col("id_b") % 11 < 3)
         .orderBy("id_a", "id_b")),
 
@@ -719,20 +724,26 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
         .orderBy("doc_id")),
 
-    "t04_fingerprint" -> ((s, dir) =>
+    "t04_fingerprint" -> ((s, dir) => {
       // fingerprint robustness conformance: for every doc, how many of the
-      // k=4 min-hash sketch values survive a small tail edit. The
-      // distribution is a deterministic function of the kernel (any change
-      // to the w-gram hashing or min-k selection shifts it), pinned by a
-      // VALUES oracle; raw determinism/collision properties are covered in
-      // TextAnalysisSpec.
-      t(s, dir, "documents")
+      // k=4 min-hash sketch values survive a small tail edit. Runs over a
+      // FIXED 500-doc deterministic corpus (PagesGen pure text, seed 7),
+      // so the distribution is a function of the KERNEL alone — identical
+      // at every scale factor; the pinned VALUES oracle is a fixture
+      // (w01-style), not an sf0.01 accident. Raw determinism/collision
+      // properties are covered in TextAnalysisSpec.
+      import s.implicits._
+      val docs = s.range(500).as[Long]
+        .map(id => (id, graft.sources.PagesGen.genText(id, 7L, 500L)._1))
+        .toDF("doc_id", "text")
+      docs
         .select(size(array_intersect(
           split(TextAnalysis.fingerprint(col("text")), ","),
           split(TextAnalysis.fingerprint(concat(col("text"), lit(" zq9tail"))), ",")))
           .as("n_shared"))
         .groupBy("n_shared").agg(count(lit(1)).as("n_docs"))
-        .orderBy("n_shared")),
+        .orderBy("n_shared")
+    }),
 
     "t08_seq_pack" -> ((s, dir) =>
       // pretraining sequence packing: docs → ≤512-token sequences in
@@ -1331,11 +1342,14 @@ object Queries {
     // sketch values survive a tail edit), pinned: any change to the w-gram
     // hashing, the min-k selection, or the sketch size shifts these counts
     "t04_fingerprint" ->
+      // fixture distribution over the FIXED 500-doc corpus (seed 7): the
+      // n_shared=0 bucket is the corpus's 5 empty docs; valid at every
+      // scale factor because the corpus no longer depends on sfDir
       """SELECT * FROM (VALUES
-        | (CAST(1 AS INT), CAST(27 AS BIGINT)),
-        | (CAST(2 AS INT), CAST(66 AS BIGINT)),
-        | (CAST(3 AS INT), CAST(167 AS BIGINT)),
-        | (CAST(4 AS INT), CAST(240 AS BIGINT)))
+        | (CAST(0 AS INT), CAST(5 AS BIGINT)),
+        | (CAST(2 AS INT), CAST(1 AS BIGINT)),
+        | (CAST(3 AS INT), CAST(11 AS BIGINT)),
+        | (CAST(4 AS INT), CAST(483 AS BIGINT)))
         |AS t(n_shared, n_docs) ORDER BY n_shared""".stripMargin,
 
     "d02_minhash_pairs" ->
@@ -1361,13 +1375,27 @@ object Queries {
          | FROM cand
          | JOIN sh sa ON sa.doc_id = id_a
          | JOIN sh sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+         |,ranked AS (
+         | SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
+         | FROM documents WHERE doc_id % 11 < 3),
+         |kept AS (SELECT doc_id FROM ranked WHERE rn <= 64)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+         |  AND (NOT (id_a % 11 < 3 AND id_b % 11 < 3 AND id_a % 7 = id_b % 7)
+         |       OR (id_a IN (SELECT doc_id FROM kept)
+         |           AND id_b IN (SELECT doc_id FROM kept)))
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d05_dup_clusters" ->
-      """SELECT a.doc_id, CAST(min(b.doc_id) AS BIGINT) AS cluster_rep
-        |FROM documents a JOIN documents b ON a.doc_id % 7 = b.doc_id % 7
-        |WHERE a.doc_id % 11 < 3 AND b.doc_id % 11 < 3
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+      // cap-aware: the LSH bucket keeps the 64 smallest member ids
+      // (sort_array + slice), so only those are ever paired — members past
+      // the cap are edgeless and absent; the cluster rep is the cluster
+      // min, which the ascending slice always retains
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 7 AS c,
+        |    row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 11 < 3)
+        |SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY c) AS BIGINT) AS cluster_rep
+        |FROM m WHERE rn <= 64 ORDER BY doc_id""".stripMargin,
 
     "d06_line_dedup" ->
       s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
