@@ -204,6 +204,31 @@ object Queries {
        |    SELECT p.*, row_number() OVER (PARTITION BY url_norm ORDER BY warc_ts, doc_id) AS __rn FROM p)
        |  WHERE __rn = 1)""".stripMargin
 
+  /** Fixed-point host-authority PageRank over the closed-form link graph,
+    * 3 iterations unrolled bitwise — shared by the f17 and f18 oracles;
+    * ends with relation r3(h, r). */
+  private val hostRankCteSql: String =
+    """us AS (SELECT DISTINCT doc_id % 89 AS u FROM documents),
+      |e AS (
+      | SELECT CAST(u % 7 AS BIGINT) AS s, CAST((((u % 13)*2+1) % 89) % 7 AS BIGINT) AS t FROM us
+      | UNION ALL
+      | SELECT CAST(u % 7 AS BIGINT) AS s, CAST((((u % 13)*5+3) % 89) % 7 AS BIGINT) AS t FROM us),
+      |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION ALL SELECT t AS h FROM e)),
+      |outd AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+      |r0 AS (SELECT h, 1000000000000 // 7 AS r FROM hosts),
+      |c1 AS (SELECT e.t AS h, CAST(sum(r0.r // outd.od) AS BIGINT) AS isum
+      |       FROM e JOIN r0 ON e.s = r0.h JOIN outd ON e.s = outd.s GROUP BY e.t),
+      |r1 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c1.isum, 0)) // 100 AS r
+      |       FROM hosts LEFT JOIN c1 ON hosts.h = c1.h),
+      |c2 AS (SELECT e.t AS h, CAST(sum(r1.r // outd.od) AS BIGINT) AS isum
+      |       FROM e JOIN r1 ON e.s = r1.h JOIN outd ON e.s = outd.s GROUP BY e.t),
+      |r2 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c2.isum, 0)) // 100 AS r
+      |       FROM hosts LEFT JOIN c2 ON hosts.h = c2.h),
+      |c3 AS (SELECT e.t AS h, CAST(sum(r2.r // outd.od) AS BIGINT) AS isum
+      |       FROM e JOIN r2 ON e.s = r2.h JOIN outd ON e.s = outd.s GROUP BY e.t),
+      |r3 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c3.isum, 0)) // 100 AS r
+      |       FROM hosts LEFT JOIN c3 ON hosts.h = c3.h)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -584,6 +609,25 @@ object Queries {
         .orderBy("host")
     }),
 
+    "f18_authority_schedule" -> ((s, dir) => {
+      // authority-prioritized fetch waves: politeness schedule + hostRank
+      // signal + global per-wave capacity (TakeOrderedAndProject top-k);
+      // the oracle replays the f04 ranking, the f17 fixed-point PageRank,
+      // and the priority-ordered LIMIT in one SQL query
+      val web = Crawl.asWeb(Queries.webLite(s, dir))
+      val edges = web.select(
+          url_host(col("url_norm")).as("src_host"),
+          explode(expr("regexp_extract_all(text, '<a href=\"([^\"]+)\"', 1)")).as("link"))
+        .select(col("src_host"), url_host(url_normalize(col("link"))).as("dst_host"))
+      val authority = Frontier.hostRank(edges, iterations = 3)
+      val politeness = fw(s, dir).select("host", "host_id").distinct()
+        .withColumn("budget", lit(1) + col("host_id") % 8)
+        .select("host", "budget")
+      Frontier.scheduleByAuthority(fw(s, dir), Some(politeness), authority,
+          waveSlots = 15, Frontier.Config(defaultBudget = 4, saltBuckets = 8))
+        .select("url_norm", "host", "batch_rank", "authority")
+    }),
+
     "f14_discard_hook" -> ((s, dir) => {
       // pluggable discard hook (P6): predicate-driven rejection with a
       // typed reason side output (the drop-429s e2e shape,
@@ -866,6 +910,21 @@ object Queries {
         .select(col("doc_id"), TextAnalysis.bpeCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    "m04_audio_decode" -> ((s, dir) => {
+      // REAL audio decode (JDK javax.sound, WAV PCM): synthetic square
+      // waves whose header fields AND sample statistics have closed forms
+      // in doc_id — RMS == peak == amplitude exactly for a ±A wave
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticWav(
+          nFrames = (200 + id % 300).toInt,
+          sampleRate = (8000 + (id % 5) * 1000).toInt,
+          amplitude = (500 + (id * 13) % 2000).toInt,
+          channels = (1 + id % 2).toInt)))
+        .toDF("doc_id", "media")
+      Multimodal.decodeAudio(s, media).orderBy("doc_id")
+    }),
+
     "t12_bpe_pack" -> ((s, dir) =>
       // sequence packing on the tokenizer-faithful basis: same distributed
       // prefix sum as t08, but the per-doc counts are real BPE tokens
@@ -1131,28 +1190,26 @@ object Queries {
          |ORDER BY h2.doc_id""".stripMargin,
 
     "f17_host_rank" ->
-      """WITH us AS (SELECT DISTINCT doc_id % 89 AS u FROM documents),
-        |e AS (
-        | SELECT CAST(u % 7 AS BIGINT) AS s, CAST((((u % 13)*2+1) % 89) % 7 AS BIGINT) AS t FROM us
-        | UNION ALL
-        | SELECT CAST(u % 7 AS BIGINT) AS s, CAST((((u % 13)*5+3) % 89) % 7 AS BIGINT) AS t FROM us),
-        |hosts AS (SELECT DISTINCT h FROM (SELECT s AS h FROM e UNION ALL SELECT t AS h FROM e)),
-        |outd AS (SELECT s, count(*) AS od FROM e GROUP BY s),
-        |r0 AS (SELECT h, 1000000000000 // 7 AS r FROM hosts),
-        |c1 AS (SELECT e.t AS h, CAST(sum(r0.r // outd.od) AS BIGINT) AS isum
-        |       FROM e JOIN r0 ON e.s = r0.h JOIN outd ON e.s = outd.s GROUP BY e.t),
-        |r1 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c1.isum, 0)) // 100 AS r
-        |       FROM hosts LEFT JOIN c1 ON hosts.h = c1.h),
-        |c2 AS (SELECT e.t AS h, CAST(sum(r1.r // outd.od) AS BIGINT) AS isum
-        |       FROM e JOIN r1 ON e.s = r1.h JOIN outd ON e.s = outd.s GROUP BY e.t),
-        |r2 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c2.isum, 0)) // 100 AS r
-        |       FROM hosts LEFT JOIN c2 ON hosts.h = c2.h),
-        |c3 AS (SELECT e.t AS h, CAST(sum(r2.r // outd.od) AS BIGINT) AS isum
-        |       FROM e JOIN r2 ON e.s = r2.h JOIN outd ON e.s = outd.s GROUP BY e.t),
-        |r3 AS (SELECT hosts.h, (15 * (1000000000000 // 7)) // 100 + (85 * coalesce(c3.isum, 0)) // 100 AS r
-        |       FROM hosts LEFT JOIN c3 ON hosts.h = c3.h)
-        |SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host, CAST(r AS BIGINT) AS rank
-        |FROM r3 ORDER BY host""".stripMargin,
+      s"""WITH $hostRankCteSql
+         |SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host, CAST(r AS BIGINT) AS rank
+         |FROM r3 ORDER BY host""".stripMargin,
+
+    "f18_authority_schedule" ->
+      s"""WITH $fwSql,
+         |$hostRankCteSql,
+         |auth AS (SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+         |                CAST(r AS BIGINT) AS authority FROM r3),
+         |sched AS (
+         | SELECT url_norm, host, batch_rank FROM (
+         |  SELECT url_norm, host,
+         |   CAST(row_number() OVER (PARTITION BY host ORDER BY depth, warc_ts DESC, url_norm) AS INT) AS batch_rank,
+         |   1 + host_id % 8 AS budget
+         |  FROM fw)
+         | WHERE batch_rank <= budget)
+         |SELECT url_norm, host, batch_rank,
+         |       CAST(coalesce(authority, 0) AS BIGINT) AS authority
+         |FROM sched LEFT JOIN auth USING (host)
+         |ORDER BY batch_rank, authority DESC, host, url_norm LIMIT 15""".stripMargin,
 
     "f14_discard_hook" ->
       """SELECT doc_id,
@@ -1316,6 +1373,16 @@ object Queries {
     "t11_bpe_tokens" -> graft.codec.Bpe.oracleSql(),
 
     "t12_bpe_pack" -> graft.codec.Bpe.packOracleSql(512),
+
+    "m04_audio_decode" ->
+      """SELECT doc_id, 'wave' AS format,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+        | CAST(200 + doc_id % 300 AS BIGINT) AS n_frames,
+        | CAST(500 + (doc_id * 13) % 2000 AS DOUBLE) AS rms,
+        | CAST(500 + (doc_id * 13) % 2000 AS INT) AS peak,
+        | true AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t06_subword_count" ->
       // alnum runs + every non-space non-alnum char (Spark's trim() strips

@@ -357,6 +357,32 @@ object Frontier {
       .drop("__budget")
   }
 
+  /** Authority-prioritized fetch waves: the north_star priority queue
+    * (depth, host budget, warc_ts recency) extended with the hostRank
+    * signal — after the per-host politeness rank, a global per-wave
+    * capacity keeps the `waveSlots` highest-priority rows in
+    * (batch_rank asc, authority desc, host, url_norm) order, so scarce
+    * fetch slots go to high-authority hosts first.
+    *
+    * Scale shape: the global selection is orderBy + limit, which Spark
+    * executes as TakeOrderedAndProject — a map-side K-row heap per
+    * partition and one driver merge of partials, never a single-task
+    * global Window. The authority dim is host-cardinality (small), so the
+    * join is an explicit broadcast. */
+  def scheduleByAuthority(df: DataFrame, politeness: Option[DataFrame],
+                          authority: DataFrame, waveSlots: Int,
+                          cfg: Config): DataFrame = {
+    require(waveSlots > 0, "waveSlots must be positive")
+    val auth = broadcast(authority
+      .select(col("host"), col("rank").cast("long").as("authority")))
+    schedule(df, politeness, cfg)
+      .join(auth, Seq("host"), "left")
+      .withColumn("authority", coalesce(col("authority"), lit(0L)))
+      .orderBy(col("batch_rank").asc, col("authority").desc,
+        col("host").asc, col("url_norm").asc)
+      .limit(waveSlots)
+  }
+
   /** Outlink extraction from page text (frontier growth between rounds). */
   def extractLinks(df: DataFrame): DataFrame =
     df.select(

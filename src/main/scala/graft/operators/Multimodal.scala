@@ -47,8 +47,115 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** STUB for non-image media (audio/video codecs aren't in this
-    * environment): deterministic fake metadata from the header bytes. */
+  // --- Audio (REAL decode for PCM containers: WAV/AIFF/AU via the JDK's
+  // javax.sound.sampled — no external codec libraries needed) -------------
+
+  final case class AudioMeta(byte_len: Long, format: String, channels: Int,
+                             sample_rate: Int, n_frames: Long, valid: Boolean)
+
+  final case class AudioFeatures(channels: Int, sample_rate: Int, n_frames: Long,
+                                 rms: Double, peak: Int, valid: Boolean)
+
+  /** Real audio container parse: format type, channels, sample rate and
+    * frame count from the stream header (no sample decode). Payloads the
+    * JDK can't identify return valid=false. */
+  def decodeAudioOne(bytes: Array[Byte]): AudioMeta = {
+    if (bytes == null || bytes.isEmpty) return AudioMeta(0L, "empty", 0, 0, 0L, valid = false)
+    try {
+      val in = new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes))
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+      AudioMeta(bytes.length.toLong, aff.getType.toString.toLowerCase,
+        aff.getFormat.getChannels, aff.getFormat.getSampleRate.toInt,
+        aff.getFrameLength.toLong, valid = true)
+    } catch {
+      case _: Exception => AudioMeta(bytes.length.toLong, "unknown", 0, 0, 0L, valid = false)
+    }
+  }
+
+  /** Real feature extraction over decoded 16-bit PCM samples: RMS
+    * amplitude (sum of squares in exact LONG arithmetic — deterministic at
+    * any partitioning) and peak |sample| across all channels. */
+  def audioFeaturesOne(bytes: Array[Byte]): AudioFeatures = {
+    if (bytes == null || bytes.isEmpty) return AudioFeatures(0, 0, 0L, 0.0, 0, valid = false)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, "16-bit PCM only")
+        val bigEndian = fmt.isBigEndian
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        var ss = 0L
+        var peak = 0
+        var i = 0
+        while (i < n) {
+          val lo = data(2 * i + (if (bigEndian) 1 else 0)) & 0xff
+          val hi = data(2 * i + (if (bigEndian) 0 else 1))
+          val s = (hi << 8) | lo
+          ss += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(ss.toDouble / n)
+        AudioFeatures(fmt.getChannels, fmt.getSampleRate.toInt,
+          in.getFrameLength, rms, peak, valid = true)
+      } finally in.close()
+    } catch {
+      case _: Exception => AudioFeatures(0, 0, 0L, 0.0, 0, valid = false)
+    }
+  }
+
+  /** Per-partition batch audio decode (same shape discipline as decode). */
+  def decodeAudio(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decodeAudioOne(bytes)
+          val f = audioFeaturesOne(bytes)
+          (id, m.format, m.channels, m.sample_rate, m.n_frames, f.rms, f.peak, m.valid)
+        }
+      }
+      .toDF("doc_id", "format", "channels", "sample_rate", "n_frames", "rms", "peak", "valid")
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV (44-byte canonical header,
+    * little-endian): a ±amplitude square wave alternating every frame, so
+    * RMS == amplitude and peak == amplitude EXACTLY (sum of squares is
+    * n·A², and binary64 sqrt of a perfect square ≤ 2^26 is exact) — the
+    * closed form the m04 oracle leans on. */
+  def syntheticWav(nFrames: Int, sampleRate: Int, amplitude: Int,
+                   channels: Int = 1): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= Short.MaxValue)
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      val s = (if (f % 2 == 0) amplitude else -amplitude).toShort
+      var c = 0
+      while (c < channels) { buf.putShort(s); c += 1 }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** STUB for remaining non-image non-PCM media (video codecs aren't in
+    * this environment; images are real via ImageIO, WAV/AIFF/AU audio is
+    * real via javax.sound): deterministic fake metadata from the header
+    * bytes. */
   private def stubMeta(bytes: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(java.util.Arrays.copyOf(bytes, math.min(64, bytes.length)))
     MediaMeta(bytes.length.toLong, "unknown", 64 + (h & 0x3ff), 64 + ((h >>> 10) & 0x3ff),

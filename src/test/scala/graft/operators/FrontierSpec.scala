@@ -304,6 +304,31 @@ class FrontierSpec extends AnyFunSuite {
     assert(got2 == got, "integer ranks must be partition-layout independent")
   }
 
+  test("scheduleByAuthority: broadcast authority dim + TakeOrderedAndProject top-k") {
+    import spark.implicits._
+    val frontier = PagesGen.urls(spark, 3000, 50, 42L)
+    val canon = Frontier.canonicalize(frontier)
+      .select("url_norm", "host", "url_hash", "depth", "warc_ts")
+    val authority = (0 until 50).map(h => (s"host$h.example", (1000 - h * 7).toLong))
+      .toDF("host", "rank")
+    val out = Frontier.scheduleByAuthority(canon, None, authority,
+      waveSlots = 25, Frontier.Config(defaultBudget = 3))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global wave cap must be a distributed partial top-k, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "authority dim must broadcast")
+    val rows = out.select("batch_rank", "authority", "host")
+      .as[(Int, Long, String)].collect()
+    assert(rows.length == 25)
+    // priority order: wave-major, then authority descending within a wave
+    assert(rows.toSeq == rows.sortBy { case (br, a, h) => (br, -a, h) }.toSeq,
+      "rows must come out in (batch_rank, authority desc, host) order")
+    // scarce slots go to high-authority hosts first within each wave
+    val wave1 = rows.filter(_._1 == 1).map(_._2)
+    assert(wave1.zip(wave1.tail).forall { case (a, b) => a >= b })
+  }
+
   test("discard hook: typed reasons, exact counters, kept/rejected partition") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("status",

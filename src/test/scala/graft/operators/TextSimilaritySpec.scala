@@ -309,6 +309,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(doc1.length == 1 && doc1.head._3.length == 300)
   }
 
+  test("audio decode: real WAV/AIFF parse + exact square-wave features") {
+    val wav = Multimodal.syntheticWav(nFrames = 240, sampleRate = 16000,
+      amplitude = 1234, channels = 2)
+    val m = Multimodal.decodeAudioOne(wav)
+    assert(m == Multimodal.AudioMeta(wav.length.toLong, "wave", 2, 16000, 240L, valid = true))
+    val f = Multimodal.audioFeaturesOne(wav)
+    assert(f.channels == 2 && f.sample_rate == 16000 && f.n_frames == 240L)
+    assert(f.rms == 1234.0, s"square-wave RMS must be exactly the amplitude, got ${f.rms}")
+    assert(f.peak == 1234 && f.valid)
+    // a second REAL container: round-trip the same PCM through the JDK's
+    // AIFF writer (big-endian path) — features identical
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(wav)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    val ma = Multimodal.decodeAudioOne(aiff)
+    assert(ma.format == "aiff" && ma.channels == 2 && ma.n_frames == 240L && ma.valid)
+    val fa = Multimodal.audioFeaturesOne(aiff)
+    assert(fa.rms == 1234.0 && fa.peak == 1234)
+    // garbage is classified, not crashed
+    assert(!Multimodal.decodeAudioOne(Array[Byte](1, 2, 3, 4)).valid)
+    assert(!Multimodal.audioFeaturesOne(Array[Byte](1, 2, 3, 4)).valid)
+  }
+
   test("repartitionByBytes: real bin-packing bounds every partition's bytes") {
     // adversarial skew: a few huge payloads among many small ones
     val target = 120000L
