@@ -925,6 +925,24 @@ object Queries {
       Multimodal.decodeAudio(s, media).orderBy("doc_id")
     }),
 
+    "m05_video_container" -> ((s, dir) => {
+      // REAL ISO-BMFF/MP4 container parse (pure byte-level box walking,
+      // ISO 14496-12 public layout): synthetic-but-structurally-real MP4s
+      // whose every field has a closed form in doc_id
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticMp4(
+          timescale = (1000 + (id % 5) * 200).toInt,
+          duration = 30000 + (id * 37) % 90000,
+          w = (320 + (id % 8) * 16).toInt,
+          h = (240 + (id % 6) * 16).toInt,
+          nTracks = (1 + id % 3).toInt,
+          payloadLen = (100 + id % 400).toInt,
+          seed = id)))
+        .toDF("doc_id", "media")
+      Multimodal.decodeVideo(s, media).orderBy("doc_id")
+    }),
+
     "t12_bpe_pack" -> ((s, dir) =>
       // sequence packing on the tokenizer-faithful basis: same distributed
       // prefix sum as t08, but the per-doc counts are real BPE tokens
@@ -1373,6 +1391,16 @@ object Queries {
     "t11_bpe_tokens" -> graft.codec.Bpe.oracleSql(),
 
     "t12_bpe_pack" -> graft.codec.Bpe.packOracleSql(512),
+
+    "m05_video_container" ->
+      """SELECT doc_id, 'isom' AS brand,
+        | CAST(1000 + (doc_id % 5) * 200 AS INT) AS timescale,
+        | CAST((30000 + (doc_id * 37) % 90000) * 1000 // (1000 + (doc_id % 5) * 200) AS BIGINT) AS duration_ms,
+        | CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+        | CAST(240 + (doc_id % 6) * 16 AS INT) AS height,
+        | CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        | true AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m04_audio_decode" ->
       """SELECT doc_id, 'wave' AS format,

@@ -152,10 +152,155 @@ object Multimodal {
     buf.array()
   }
 
-  /** STUB for remaining non-image non-PCM media (video codecs aren't in
-    * this environment; images are real via ImageIO, WAV/AIFF/AU audio is
-    * real via javax.sound): deterministic fake metadata from the header
-    * bytes. */
+  // --- Video containers (REAL ISO-BMFF/MP4 box parse — the container
+  // layout is public ISO 14496-12 structure, walkable with pure byte
+  // arithmetic; only the codec payload inside needs external libraries) --
+
+  final case class Mp4Meta(byte_len: Long, brand: String, timescale: Int,
+                           duration_ms: Long, width: Int, height: Int,
+                           n_tracks: Int, valid: Boolean)
+
+  /** Parse MP4/ISO-BMFF container metadata: major brand from `ftyp`,
+    * timescale + duration from `moov/mvhd` (version 0), presentation
+    * dimensions (16.16 fixed point) from the first visual `trak/tkhd`,
+    * and the track count. No frame decode — header-only, like the image
+    * path. Non-BMFF payloads return valid=false. */
+  def parseMp4One(bytes: Array[Byte]): Mp4Meta = {
+    val invalid = Mp4Meta(if (bytes == null) 0L else bytes.length.toLong,
+      "", 0, 0L, 0, 0, 0, valid = false)
+    if (bytes == null || bytes.length < 16) return invalid
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def typ(o: Int): String = new String(bytes, o + 4, 4, "US-ASCII")
+    try {
+      if (typ(0) != "ftyp") return invalid
+      val brand = new String(bytes, 8, 4, "US-ASCII").trim
+      var brandOk = brand.nonEmpty
+      var timescale = 0
+      var duration = 0L
+      var width = 0
+      var height = 0
+      var nTracks = 0
+      // walk the box tree: (offset, end) frames; descend into containers
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val size = u32(o)
+          if (size < 8 || o + size > to) return
+          val t = typ(o)
+          t match {
+            case "moov" | "trak" => walk(o + 8, (o + size).toInt)
+            case "mvhd" =>
+              // version(1) flags(3) ctime(4) mtime(4) timescale(4) duration(4)
+              if (bytes(o + 8) == 0 && o + 28 <= to) {
+                timescale = u32(o + 20).toInt
+                duration = u32(o + 24)
+              }
+            case "tkhd" =>
+              nTracks += 1
+              // v0: ver/flags(4) ctime(4) mtime(4) id(4) res(4) dur(4)
+              //     res(8) layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4)
+              if (bytes(o + 8) == 0 && o + 92 <= to) {
+                val w = (u32(o + 84) >> 16).toInt
+                val h = (u32(o + 88) >> 16).toInt
+                if (width == 0 && w > 0) { width = w; height = h }
+              }
+            case _ => ()
+          }
+          o += size.toInt
+        }
+      }
+      walk(0, bytes.length)
+      if (!brandOk || timescale <= 0) invalid
+      else Mp4Meta(bytes.length.toLong, brand, timescale,
+        duration * 1000L / timescale, width, height, nTracks, valid = true)
+    } catch {
+      case _: Exception => invalid
+    }
+  }
+
+  /** Per-partition batch video-container parse (header metadata only). */
+  def decodeVideo(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = parseMp4One(bytes)
+          (id, m.brand, m.timescale, m.duration_ms, m.width, m.height,
+            m.n_tracks, m.valid)
+        }
+      }
+      .toDF("doc_id", "brand", "timescale", "duration_ms", "width", "height",
+        "n_tracks", "valid")
+  }
+
+  /** Deterministic minimal-but-real ISO-BMFF file: ftyp + moov(mvhd +
+    * one tkhd per track, first carries the 16.16 dimensions) + an `mdat`
+    * of `payloadLen` deterministic filler bytes. Every box length/field
+    * has a closed form — the m05 oracle's basis. */
+  def syntheticMp4(timescale: Int, duration: Long, w: Int, h: Int,
+                   nTracks: Int, payloadLen: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(256 + payloadLen)
+    def u32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    // ftyp: major brand isom, minor version, one compatible brand
+    u32(20); tag("ftyp"); tag("isom"); u32(512); tag("iso2")
+    // mvhd v0 body = 100 bytes total box
+    val mvhdSize = 8 + 4 + 4 + 4 + 4 + 4 + 4 + 2 + 2 + 8 + 36 + 24 + 4
+    val tkhdSize = 8 + 4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36 + 4 + 4
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + nTracks * trakSize
+    u32(moovSize); tag("moov")
+    u32(mvhdSize); tag("mvhd")
+    u32(0) // version+flags
+    u32(0); u32(0) // ctime mtime
+    u32(timescale); u32(duration)
+    u32(0x00010000); // rate 1.0
+    bos.write(1); bos.write(0) // volume 1.0
+    bos.write(0); bos.write(0) // reserved
+    u32(0); u32(0) // reserved
+    (0 until 9).foreach(i => u32(if (i == 0 || i == 4) 0x00010000 else if (i == 8) 0x40000000 else 0))
+    (0 until 6).foreach(_ => u32(0)) // predefined
+    u32(nTracks + 1L) // next track id
+    var t = 0
+    while (t < nTracks) {
+      u32(trakSize); tag("trak")
+      u32(tkhdSize); tag("tkhd")
+      u32(7) // v0, flags: enabled|in-movie|in-preview
+      u32(0); u32(0) // ctime mtime
+      u32(t + 1L) // track id
+      u32(0) // reserved
+      u32(duration)
+      u32(0); u32(0) // reserved
+      bos.write(0); bos.write(0) // layer
+      bos.write(0); bos.write(0) // alternate group
+      bos.write(0); bos.write(0) // volume
+      bos.write(0); bos.write(0) // reserved
+      (0 until 9).foreach(i => u32(if (i == 0 || i == 4) 0x00010000 else if (i == 8) 0x40000000 else 0))
+      // only the first track carries the visual dimensions
+      u32(if (t == 0) w.toLong << 16 else 0L)
+      u32(if (t == 0) h.toLong << 16 else 0L)
+      t += 1
+    }
+    u32(8L + payloadLen); tag("mdat")
+    var i = 0
+    var s = seed
+    while (i < payloadLen) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      bos.write(((s >>> 56) & 0xff).toInt)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** STUB for remaining unidentifiable media (codec payloads beyond the
+    * real container parsers: images via ImageIO, WAV/AIFF/AU audio via
+    * javax.sound, MP4/ISO-BMFF video structure via parseMp4One):
+    * deterministic fake metadata from the header bytes. */
   private def stubMeta(bytes: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(java.util.Arrays.copyOf(bytes, math.min(64, bytes.length)))
     MediaMeta(bytes.length.toLong, "unknown", 64 + (h & 0x3ff), 64 + ((h >>> 10) & 0x3ff),

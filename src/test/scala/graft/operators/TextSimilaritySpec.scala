@@ -335,6 +335,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.audioFeaturesOne(Array[Byte](1, 2, 3, 4)).valid)
   }
 
+  test("mp4 container parse: real box walking, closed-form fields, garbage classified") {
+    val mp4 = Multimodal.syntheticMp4(timescale = 1200, duration = 60000,
+      w = 640, h = 360, nTracks = 2, payloadLen = 500, seed = 9L)
+    val m = Multimodal.parseMp4One(mp4)
+    assert(m == Multimodal.Mp4Meta(mp4.length.toLong, "isom", 1200,
+      60000L * 1000 / 1200, 640, 360, 2, valid = true))
+    // truncated file: the walker stops at the buffer edge — invalid, no crash
+    assert(!Multimodal.parseMp4One(java.util.Arrays.copyOf(mp4, 40)).valid)
+    assert(!Multimodal.parseMp4One("not a video at all".getBytes("UTF-8")).valid)
+    assert(!Multimodal.parseMp4One(Multimodal.syntheticPng(8, 8, 1L)).valid)
+    assert(!Multimodal.parseMp4One(null).valid)
+  }
+
   test("repartitionByBytes: real bin-packing bounds every partition's bytes") {
     // adversarial skew: a few huge payloads among many small ones
     val target = 120000L
