@@ -93,6 +93,22 @@ object PlanAudit {
       "two-phase distributed prefix sum: range partition + narrow per-partition running sum (RDD scan), NO single-task Window.orderBy; final rank bounded per sequence",
       q("t08_seq_pack"))
 
+    section("t11_bpe_tokens",
+      "single narrow bpe_count kernel projection over the documents scan (codegen, no HOFs, no shuffle before the sort)",
+      q("t11_bpe_tokens"))
+
+    section("m03_byte_packing",
+      "deterministic id-domain prefix groups: ONE hash exchange on __g + within-partition sort, identity partitioner to byte-bounded buckets (never sampled range boundaries, never keyed on physical partition ids)",
+      q("m03_byte_packing"))
+
+    section("f18_authority_schedule",
+      "politeness schedule (WindowGroupLimit partials) + BROADCAST authority dim + TakeOrderedAndProject global wave cap (map-side K-row heaps, never a single-task Window)",
+      q("f18_authority_schedule"))
+
+    section("m04_audio_decode",
+      "per-partition batch mapPartitions audio parse (no shuffle before the sort); features in exact integer sums",
+      q("m04_audio_decode"))
+
     // the integrated crawl-round core (f07's per-round plan, unpersisted):
     // canonicalize -> in-batch first-wins -> robots broadcast gate ->
     // two-phase schedule -> fetch join -> digest-dedup window
