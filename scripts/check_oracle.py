@@ -26,6 +26,13 @@ def values_equal(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    try:  # NaN/NaT of any dtype (numpy datetime64 NaT != itself)
+        an, bn = a != a, b != b
+        if isinstance(an, (bool,)) or getattr(an, "ndim", 1) == 0:
+            if bool(an) and bool(bn):
+                return True
+    except Exception:
+        pass
     return a == b
 
 def main():

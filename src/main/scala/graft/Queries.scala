@@ -628,6 +628,40 @@ object Queries {
         .select("url_norm", "host", "batch_rank", "authority")
     }),
 
+    "f19_sitemap_entries" -> ((s, dir) => {
+      // sitemap.xml CONTENT → seeds (f11 finds the pointers in robots.txt;
+      // this parses the documents): real JDK XML parse of closed-form
+      // urlsets — dirty locs canonicalized, W3C lastmod in both date-only
+      // and offset-datetime forms, incremental `since` cutoff keeping
+      // lastmod-free entries conservatively
+      import s.implicits._
+      val sitemaps = (0 until 7).map { h =>
+        val n = 3 + h % 3
+        val urls = (0 until n).map { u =>
+          val lastmod = (u % 3) match {
+            case 0 => ""
+            case 1 => s"<lastmod>2022-03-${10 + u}</lastmod>"
+            case _ => f"<lastmod>2022-03-15T0$u%d:30:00+02:00</lastmod>"
+          }
+          s"<url><loc>HTTPS://host$h.example:443/page/$u</loc>$lastmod</url>"
+        }.mkString
+        (h, "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          urls + "</urlset>")
+      }.toDF("h", "xml")
+      Frontier.sitemapUrlSeeds(sitemaps,
+          since = Some(java.sql.Timestamp.from(
+            java.time.Instant.parse("2022-03-12T00:00:00Z"))))
+        // null-free output: absent lastmod rides as (epoch, has_lastmod =
+        // false) so every comparator hashes rows identically
+        .select(col("url_norm"), col("host"),
+          coalesce(col("lastmod"),
+            lit(java.sql.Timestamp.from(java.time.Instant.EPOCH))).as("lastmod"),
+          col("lastmod").isNotNull.as("has_lastmod"),
+          col("depth"))
+        .orderBy("url_norm")
+    }),
+
     "f14_discard_hook" -> ((s, dir) => {
       // pluggable discard hook (P6): predicate-driven rejection with a
       // typed reason side output (the drop-429s e2e shape,
@@ -1135,6 +1169,27 @@ object Queries {
       """SELECT 'https://host' || CAST(h AS VARCHAR) || '.example/sitemap-' || s || '.xml' AS url_norm,
         |  'host' || CAST(h AS VARCHAR) || '.example' AS host, CAST(0 AS INT) AS depth
         |FROM (SELECT unnest([0, 2, 4, 6]) AS h) a, (SELECT unnest(['a', 'b']) AS s) b
+        |ORDER BY url_norm""".stripMargin,
+
+    "f19_sitemap_entries" ->
+      """WITH g AS (
+        |  SELECT h, u FROM (SELECT unnest([0,1,2,3,4,5,6]) AS h) a,
+        |       (SELECT unnest([0,1,2,3,4]) AS u) b
+        |  WHERE u < 3 + h % 3),
+        |e AS (
+        |  SELECT 'https://host' || CAST(h AS VARCHAR) || '.example/page/' || CAST(u AS VARCHAR) AS url_norm,
+        |         'host' || CAST(h AS VARCHAR) || '.example' AS host,
+        |         CASE WHEN u % 3 = 0 THEN NULL
+        |              WHEN u % 3 = 1 THEN TIMESTAMP '2022-03-10 00:00:00' + INTERVAL (u) DAY
+        |              ELSE TIMESTAMP '2022-03-15 00:30:00' + INTERVAL (u - 2) HOUR
+        |         END AS lastmod,
+        |         CAST(0 AS INT) AS depth
+        |  FROM g)
+        |SELECT url_norm, host,
+        |       coalesce(lastmod, TIMESTAMP '1970-01-01 00:00:00') AS lastmod,
+        |       lastmod IS NOT NULL AS has_lastmod, depth
+        |FROM e
+        |WHERE lastmod IS NULL OR lastmod >= TIMESTAMP '2022-03-12 00:00:00'
         |ORDER BY url_norm""".stripMargin,
 
     "f08_seen_partitioned" ->

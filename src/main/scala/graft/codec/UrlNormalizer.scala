@@ -152,9 +152,12 @@ object UrlNormalizer {
     }
   }
 
+  /** RFC 3986 §3.1: schemes are case-INSENSITIVE — `HTTPS://…` is valid
+    * (normalize already lowercases it; this must agree on raw input). */
   def isValid(url: String): Boolean =
     url != null && split(url.trim).exists { case (s, _, h, _, _, _) =>
-      (s == "http" || s == "https") && h.nonEmpty
+      val sl = s.toLowerCase
+      (sl == "http" || sl == "https") && h.nonEmpty
     }
 
   /** Lowercased host of a url, or "" when unparseable. */

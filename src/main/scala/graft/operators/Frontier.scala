@@ -292,6 +292,39 @@ object Frontier {
       .withColumn("warc_ts", lit(ts))
   }
 
+  /** Sitemap CONTENT → frontier seeds: parse fetched sitemap.xml bodies
+    * (real JDK XML via codec.Sitemap — urlset entries with W3C-datetime
+    * lastmod; sitemapindex children expand one level through the same
+    * parse on a later fetch), canonicalize each loc like any frontier
+    * candidate, and optionally keep only entries at/after `since`
+    * (incremental recrawl from lastmod — entries WITHOUT a lastmod are
+    * conservatively kept). Sitemaps are per-host side inputs (one row per
+    * sitemap document, ≤50k urls each per the spec), so the per-row XML
+    * UDF is the same justified pattern as the robots parse — never a
+    * per-url cost. Input: (xml STRING); output
+    * (url_norm, host, lastmod TIMESTAMP, depth=0). */
+  def sitemapUrlSeeds(sitemaps: DataFrame, since: Option[java.sql.Timestamp] = None,
+                      xmlCol: String = "xml"): DataFrame = {
+    val parse = udf { (xml: String) =>
+      graft.codec.Sitemap.parse(Option(xml).getOrElse(""))
+        .map(e => (e.loc, e.lastmod.orNull))
+    }
+    val entries = sitemaps
+      .select(explode(parse(col(xmlCol))).as("e"))
+      .select(col("e._1").as("url"), col("e._2").as("lastmod"))
+      .filter(graft.functions.GraftFunctions.url_is_valid(col("url")))
+      .select(
+        graft.functions.GraftFunctions.url_normalize(col("url")).as("url_norm"),
+        graft.functions.GraftFunctions.url_host(
+          graft.functions.GraftFunctions.url_normalize(col("url"))).as("host"),
+        col("lastmod"))
+      .withColumn("depth", lit(0))
+    since match {
+      case Some(ts) => entries.filter(col("lastmod").isNull || col("lastmod") >= lit(ts))
+      case None => entries
+    }
+  }
+
   /** Stage 5 — politeness scheduling: per-host top-`budget` by priority
     * (depth asc, warc_ts desc, url asc — the north_star priority queue).
     *

@@ -217,6 +217,50 @@ class UrlNormalizerSpec extends AnyFunSuite {
     assert(UrlNormalizer.isValid("https://example.com/x"))
     assert(!UrlNormalizer.isValid("mailto:x@example.com"))
     assert(!UrlNormalizer.isValid("garbage"))
+    // RFC 3986 §3.1: scheme matching is case-insensitive (normalize
+    // accepts HTTPS://, so isValid must agree on the same raw input)
+    assert(UrlNormalizer.isValid("HTTPS://example.com/x"))
+    assert(UrlNormalizer.isValid("Http://example.com/x"))
+  }
+}
+
+class SitemapSpec extends AnyFunSuite {
+  test("urlset parse: loc + W3C lastmod variants, namespace-aware") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://a.example/1</loc><lastmod>2022-03-11</lastmod></url>
+        |  <url><loc> https://a.example/2 </loc><lastmod>2022-03-15T04:30:00+02:00</lastmod></url>
+        |  <url><loc>https://a.example/3</loc></url>
+        |  <url><lastmod>2022-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val es = Sitemap.parse(xml)
+    assert(es.map(_.loc) == Vector("https://a.example/1", "https://a.example/2", "https://a.example/3"))
+    assert(es(0).lastmod.get.toInstant == java.time.Instant.parse("2022-03-11T00:00:00Z"))
+    assert(es(1).lastmod.get.toInstant == java.time.Instant.parse("2022-03-15T02:30:00Z"))
+    assert(es(2).lastmod.isEmpty)
+  }
+
+  test("sitemapindex parse + malformed inputs yield empty, never throw") {
+    assert(Sitemap.parseIndex(
+      "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>" +
+        "<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>") ==
+      Vector("https://a/s1.xml", "https://a/s2.xml"))
+    assert(Sitemap.parse("not xml at all").isEmpty)
+    assert(Sitemap.parse("<urlset><url><loc>unterminated").isEmpty)
+    assert(Sitemap.parse("").isEmpty)
+    assert(Sitemap.lastmodTs("not-a-date").isEmpty)
+  }
+
+  test("external entities are never resolved (zero-egress hygiene)") {
+    val xxe =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE urlset [<!ENTITY x SYSTEM "http://evil.example/p">]>
+        |<urlset><url><loc>https://a.example/&x;</loc></url></urlset>""".stripMargin
+    // either rejected outright or parsed with the entity unresolved —
+    // never a network fetch (the factory disables external entities)
+    val out = Sitemap.parse(xxe)
+    assert(out.isEmpty || !out.head.loc.contains("evil-resolved"))
   }
 }
 
