@@ -977,6 +977,17 @@ object Queries {
       Multimodal.decodeVideo(s, media).orderBy("doc_id")
     }),
 
+    "t13_bpe_ids" -> ((s, dir) =>
+      // tokenizer-to-ids: each doc's full BPE vocab-id sequence (byte
+      // symbols 0..255, merge k → 256+k), comma-joined — the per-row step
+      // of a training-shard exporter. The oracle replays the ENTIRE
+      // pipeline: ordered pretokens, the merge sweep, and the vocab-id
+      // join, all from the committed table
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.bpe_ids(col("text")).as("ids"))
+        .orderBy("doc_id")),
+
     "t12_bpe_pack" -> ((s, dir) =>
       // sequence packing on the tokenizer-faithful basis: same distributed
       // prefix sum as t08, but the per-doc counts are real BPE tokens
@@ -1446,6 +1457,8 @@ object Queries {
     "t11_bpe_tokens" -> graft.codec.Bpe.oracleSql(),
 
     "t12_bpe_pack" -> graft.codec.Bpe.packOracleSql(512),
+
+    "t13_bpe_ids" -> graft.codec.Bpe.idsOracleSql(),
 
     "m05_video_container" ->
       """SELECT doc_id, 'isom' AS brand,

@@ -99,6 +99,8 @@ object Kernels {
   def httpExtractText(b: Array[Byte]): UTF8String =
     UTF8String.fromBytes(HttpCodec.decodedBody(b))
   def bpeCount(s: UTF8String): Int = graft.codec.Bpe.countTokens(s.toString)
+  def bpeIds(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.codec.Bpe.encodeIdsStr(s.toString))
 }
 
 /** Base for one-arg expressions implemented as a static kernel call —
@@ -237,6 +239,16 @@ case class BpeCount(child: Expression) extends KernelUnary {
   override def nullSafeEval(v: Any): Any = Kernels.bpeCount(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
   override def prettyName: String = "bpe_count"
+}
+
+/** Comma-joined BPE vocab ids (byte symbols 0..255, merge k → 256+k) —
+  * the per-row tokenizer-to-ids step of a training-shard exporter. */
+case class BpeIds(child: Expression) extends KernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernelCall = "graft.functions.Kernels.bpeIds(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.bpeIds(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): BpeIds = copy(child = c)
+  override def prettyName: String = "bpe_ids"
 }
 
 case class StopwordRatio(child: Expression) extends KernelUnary {
@@ -388,6 +400,7 @@ object GraftFunctions {
   def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))
   def stopword_ratio(c: Column): Column = col(StopwordRatio(expr(c)))
   def bpe_count(c: Column): Column = col(BpeCount(expr(c)))
+  def bpe_ids(c: Column): Column = col(BpeIds(expr(c)))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =
@@ -411,5 +424,6 @@ object GraftFunctions {
     one("doc_fingerprint", e => FingerprintExpr(e, 8, 4))
     one("quantize_i8", QuantizeI8)
     one("bpe_count", BpeCount)
+    one("bpe_ids", BpeIds)
   }
 }

@@ -85,6 +85,18 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.countTokens(t) == expected) // second call hits the memo
   }
 
+  test("encodeIdsStr: ids invert to the original text through the vocab") {
+    assert(Bpe.vocab.map(_._1).distinct.size == Bpe.vocab.size, "vocab symbols unique")
+    assert(Bpe.vocab.map(_._2).distinct.size == Bpe.vocab.size, "vocab ids unique")
+    val idToSym = Bpe.vocab.map { case (s, id) => id -> s }.toMap
+    val t = PagesGen.genText(23L, 42L, 100L)._1
+    val ids = Bpe.encodeIdsStr(t).split(",").filter(_.nonEmpty).map(_.toInt)
+    assert(ids.length == Bpe.countTokens(t), "id count must equal token count")
+    val bytes = ids.flatMap(id => idToSym(id).map(c => Bpe.charToByte(c).toByte))
+    assert(new String(bytes, "UTF-8") == t, "ids must losslessly invert to the text")
+    assert(Bpe.encodeIdsStr("") == "" && Bpe.encodeIdsStr(null) == "")
+  }
+
   test("merges compose: every learned merge's parts are prior symbols") {
     // pair (a,b) can only reference symbols buildable from earlier merges
     // or single bytes — the property that makes the rank-order sweep sound
