@@ -129,6 +129,62 @@ object Bench {
     (rawBytes * n / 1e6 / readSec, rawBytes * wn / 1e6 / writeSec)
   }
 
+  /** The reference's OTHER two defined write benches
+    * (/root/reference/client_test.go:1868-1989): same records through a
+    * ZSTD member writer, and a >2 MB payload (3,095,926 B, the reference's
+    * jpg size — exceeds the 1 MB spool threshold) through gzip. Returns
+    * (zstd small MB/s, gzip large MB/s). */
+  def codecMicroExtra(): (Double, Double) = {
+    val gz = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/testdata/test.warc.gz"))
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(gz), 1 << 16)
+    val recs = try graft.codec.WarcCodec.readAll(in) finally in.close()
+    val rawBytes = recs.map(_.content.length.toLong).sum
+    def medianOf3(window: () => Double): Double =
+      Seq(window(), window(), window()).sorted.apply(1)
+    def writeAllZstd(): Unit = {
+      val bos = new java.io.ByteArrayOutputStream(64 << 10)
+      val w = graft.codec.Codecs.memberWriter(bos, graft.codec.Codecs.ZstdCompression())
+      recs.foreach(r => w.writeMember(graft.codec.WarcCodec.serialize(r)))
+      w.close()
+    }
+    (1 to 100).foreach(_ => writeAllZstd())
+    val zn = 600
+    val zstdSec = medianOf3 { () =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < zn) { writeAllZstd(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // >2 MB payload: deterministic bytes, moderate compressibility
+    val big = new Array[Byte](3095926)
+    var s = 42L
+    var i = 0
+    while (i < big.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      big(i) = if ((i & 7) < 5) 'a'.toByte else (s >>> 56).toByte
+      i += 1
+    }
+    val base = recs.find(_.warcType == "response").get
+    val bigRec = base.copy(content = big,
+      headers = base.headers + ("Content-Length" -> big.length.toString))
+    def writeBig(): Unit = {
+      val bos = new java.io.ByteArrayOutputStream(1 << 20)
+      val w = graft.codec.Codecs.memberWriter(bos, graft.codec.Codecs.GzipCompression)
+      w.writeMember(graft.codec.WarcCodec.serialize(bigRec))
+      w.close()
+    }
+    (1 to 10).foreach(_ => writeBig())
+    val bn = 25
+    val bigSec = medianOf3 { () =>
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < bn) { writeBig(); j += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    (rawBytes * zn / 1e6 / zstdSec, big.length.toLong * bn / 1e6 / bigSec)
+  }
+
   /** Full evaluation of the query's own output columns. A bare count()
     * is NOT a faithful timing: the optimizer prunes the projections and
     * eliminates cardinality-preserving joins under it, so a narrow query
@@ -176,6 +232,7 @@ object Bench {
     // single-thread codec micro first: it must not time GC pauses left
     // behind by the multi-GB headline phase
     val (readMBps, writeMBps) = codecMicro()
+    val (writeZstdMBps, writeLargeMBps) = codecMicroExtra()
 
     // warmup: touch every table + codegen paths once (failures surface in
     // the timed pass below, where they are recorded per query)
@@ -190,7 +247,7 @@ object Bench {
     val errs = errorsJson(results)
     val total = results.map(_._2).sum + h.scheduleSec + h.extractSec
     println(
-      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs%s,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f}""")
+      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs%s,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f,"warc_write_zstd_mb_per_sec":$writeZstdMBps%.1f,"warc_write_large_mb_per_sec":$writeLargeMBps%.1f}""")
     spark.stop()
   }
 }
