@@ -977,6 +977,13 @@ object Queries {
       Multimodal.decodeVideo(s, media).orderBy("doc_id")
     }),
 
+    "t14_lm_quality" -> ((s, dir) =>
+      // CCNet-style LM quality: mean log2 char-bigram probability under
+      // the committed 1444-row model; sums are exact scaled-integer
+      // log-probs, so the oracle replays them bitwise via a VALUES join
+      TextAnalysis.lmScore(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "t13_bpe_ids" -> ((s, dir) =>
       // tokenizer-to-ids: each doc's full BPE vocab-id sequence (byte
       // symbols 0..255, merge k → 256+k), comma-joined — the per-row step
@@ -1459,6 +1466,8 @@ object Queries {
     "t12_bpe_pack" -> graft.codec.Bpe.packOracleSql(512),
 
     "t13_bpe_ids" -> graft.codec.Bpe.idsOracleSql(),
+
+    "t14_lm_quality" -> graft.codec.Lm.oracleSql(),
 
     "m05_video_container" ->
       """SELECT doc_id, 'isom' AS brand,

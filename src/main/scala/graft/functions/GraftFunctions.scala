@@ -101,6 +101,7 @@ object Kernels {
   def bpeCount(s: UTF8String): Int = graft.codec.Bpe.countTokens(s.toString)
   def bpeIds(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.codec.Bpe.encodeIdsStr(s.toString))
+  def lmSlogSum(s: UTF8String): Long = graft.codec.Lm.score(s.toString)._2
 }
 
 /** Base for one-arg expressions implemented as a static kernel call —
@@ -249,6 +250,16 @@ case class BpeIds(child: Expression) extends KernelUnary {
   override def nullSafeEval(v: Any): Any = Kernels.bpeIds(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): BpeIds = copy(child = c)
   override def prettyName: String = "bpe_ids"
+}
+
+/** Σ scaled-log2-prob of a text's char bigrams under the committed LM
+  * (graft.codec.Lm) — exact LONG, the CCNet-style quality signal. */
+case class LmSlogSum(child: Expression) extends KernelUnary {
+  override def dataType: DataType = LongType
+  override protected def kernelCall = "graft.functions.Kernels.lmSlogSum(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.lmSlogSum(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): LmSlogSum = copy(child = c)
+  override def prettyName: String = "lm_slog_sum"
 }
 
 case class StopwordRatio(child: Expression) extends KernelUnary {
@@ -401,6 +412,7 @@ object GraftFunctions {
   def stopword_ratio(c: Column): Column = col(StopwordRatio(expr(c)))
   def bpe_count(c: Column): Column = col(BpeCount(expr(c)))
   def bpe_ids(c: Column): Column = col(BpeIds(expr(c)))
+  def lm_slog_sum(c: Column): Column = col(LmSlogSum(expr(c)))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =
@@ -425,5 +437,6 @@ object GraftFunctions {
     one("quantize_i8", QuantizeI8)
     one("bpe_count", BpeCount)
     one("bpe_ids", BpeIds)
+    one("lm_slog_sum", LmSlogSum)
   }
 }

@@ -35,6 +35,23 @@ object TextAnalysis {
     * pretraining pipeline actually packs by, as a codegen kernel. */
   def bpeCount(c: Column): Column = graft.functions.GraftFunctions.bpe_count(c)
 
+  /** CCNet-style LM quality score: mean log2 char-bigram probability under
+    * the committed model (graft.codec.Lm). The per-doc sum is an EXACT
+    * LONG of pre-scaled log-probs (order-independent; SQL-replayable via
+    * the 1444-row table); one double division at the end. The kernel
+    * result is aliased in a lower projection so it evaluates ONCE per row
+    * even though two output columns derive from it. */
+  def lmScore(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        greatest(length(col(textCol)) - 1, lit(0)).cast("int").as("n_bigrams"),
+        graft.functions.GraftFunctions.lm_slog_sum(col(textCol)).as("slog_sum"))
+      .select(col(idCol), col("n_bigrams"), col("slog_sum"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("slog_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
+          .as("mean_log2"))
+
   /** Stopword fraction of tokens — the classic web-text quality signal
     * (near-0 for boilerplate/gibberish); one codegen kernel call. */
   def stopwordRatio(c: Column): Column =
