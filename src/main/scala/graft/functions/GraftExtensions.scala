@@ -30,7 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("cosine_sim", "cosine similarity of two float arrays (double fold)",
       exprs => CosineSim(exprs(0), exprs(1))),
     ("quantize_i8", "symmetric int8 quantization of a float array (127/max scaling)",
-      exprs => QuantizeI8(exprs.head)))
+      exprs => QuantizeI8(exprs.head)),
+    ("lang_id", "stopword-table language id", exprs => LangIdExpr(exprs.head)),
+    ("stopword_ratio", "stopword fraction of whitespace tokens",
+      exprs => StopwordRatio(exprs.head)),
+    ("doc_fingerprint", "winnowing min-k rolling-hash fingerprint",
+      exprs => FingerprintExpr(exprs.head, 8, 4)),
+    ("bpe_count", "byte-level BPE token count (committed merge table)",
+      exprs => BpeCount(exprs.head)),
+    ("bpe_ids", "comma-joined BPE vocab ids (training-shard export form)",
+      exprs => BpeIds(exprs.head)),
+    ("lm_slog_sum", "sum of scaled log2 char-bigram probabilities (committed LM)",
+      exprs => LmSlogSum(exprs.head)))
 
   override def apply(e: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

@@ -285,10 +285,17 @@ object Crawl {
               .observe(stObs, count(when(col("__t") === 2, 1)).as("nf"))
               .localCheckpoint(true)
             val newSeen = ck.filter(col("__t") === 1).select("url_hash", "url_norm")
-            seen = Some(seen match {
+            val merged = seen match {
               case None => newSeen
               case Some(s) => s.unionByName(newSeen)
-            })
+            }
+            // the accumulator is a union of per-round checkpoint leaves:
+            // O(1) per round to extend, but its ANALYSIS cost grows with
+            // rounds — collapse it periodically so a long in-memory crawl
+            // plans O(1) instead of O(rounds) per round (the durable path
+            // reads one table and never grows)
+            seen = Some(
+              if ((r + 1) % 8 == 0) merged.localCheckpoint(true) else merged)
             frontier = ck.filter(col("__t") === 2).select("url", "depth", "warc_ts")
             frontierCount = stObs.get("nf").asInstanceOf[Long]
         }

@@ -29,6 +29,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getString(2) == "FKXGYNOJJ7H3IFO35FPUBC445EPOQRXN")
       assert(row.getString(3) == "hi")
       assert(math.abs(row.getDouble(4) - 1.0) < 1e-12)
+      // round-4 surface: tokenizer + LM kernels reachable from plain SQL
+      val row2 = spark.sql(
+        """SELECT bpe_count('hello world') AS n,
+          |       bpe_ids('hello world') AS ids,
+          |       lm_slog_sum('ab') AS lm,
+          |       lang_id('the cat and the dog is in that house') AS lang
+          |""".stripMargin).head()
+      assert(row2.getInt(0) > 0)
+      assert(row2.getString(1).split(",").length == row2.getInt(0),
+        "bpe_ids length must equal bpe_count")
+      assert(row2.getLong(2) == graft.codec.Lm.defaultSlog(0)(1))
+      assert(row2.getString(3) == "en")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
