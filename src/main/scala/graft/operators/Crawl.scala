@@ -252,10 +252,22 @@ object Crawl {
           graft.sources.WarcIO.writeFetched(roundFetched, s"$d/round-$r"))
         allFetched = allFetched match {
           case None => Some(roundFetched)
-          case Some(prev) => Some(prev.unionByName(roundFetched))
+          case Some(prev) =>
+            val merged = prev.unionByName(roundFetched)
+            // like the seen accumulator below: the union of per-round
+            // checkpoint leaves is O(1) to extend but O(rounds) to ANALYZE —
+            // collapse it periodically so a long in-memory crawl plans O(1)
+            // per round. Durable mode keeps the plain union: its leaves are
+            // parquet scans (fault-tolerant), and a localCheckpoint here
+            // would silently trade that away for executor-pinned RDDs.
+            Some(
+              if (fetchedTable.isEmpty && (r + 1) % 8 == 0) merged.localCheckpoint(true)
+              else merged)
         }
-        // O(|new|) index growth, like the seen increments
-        digestIndex.foreach(DigestIndex.append(roundFetched, _))
+        // O(|new|) index growth, like the seen increments; keyed by round so
+        // a crash-replay of this round overwrites its own partition instead
+        // of appending duplicates
+        digestIndex.foreach(DigestIndex.append(roundFetched, _, r.toLong))
         (store, frontierTable) match {
           case (Some(st), Some(ft)) =>
             val snap = TableIO.commitAs(out.nextFrontier, ft, r.toLong, Map("round" -> r.toLong))

@@ -198,7 +198,8 @@ object Dedup {
     * leaf scans, keeping per-round driver planning O(1).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25, ckptEvery: Int = 1,
-                        stateDir: Option[String] = None): DataFrame = {
+                        stateDir: Option[String] = None,
+                        inputFingerprint: Option[Long] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
     val edgeTable = stateDir.map(_ + "/cc_edges")
@@ -207,7 +208,12 @@ object Dedup {
     // Skips re-running the (expensive) candidate-generation plan entirely;
     // the first resumed iteration re-derives convergence, so a run that
     // had already converged terminates after one no-op round.
-    val resumed = graft.state.Durable.resume(spark, compTable, maxIters.toLong)
+    // `inputFingerprint` (when the caller supplies one — fingerprint a
+    // CHEAP upstream, e.g. the source docs, never the LSH pair plan this
+    // resume exists to skip) is recorded at iteration 0 and validated
+    // here, so resuming a dir written for different pairs fails loudly.
+    val resumed = graft.state.Durable.resume(
+      spark, compTable, maxIters.toLong, inputFingerprint)
     val edges = resumed match {
       case Some(_) =>
         graft.state.TableIO.read(spark, edgeTable.get, Some(0L)).get
@@ -228,7 +234,8 @@ object Dedup {
     var comp = resumed.map(_._2).getOrElse(
       graft.state.Durable.pin(
         edges.select(col("src").as("id")).distinct().withColumn("rep", col("id")),
-        compTable, 0L))
+        compTable, 0L,
+        graft.state.Durable.fingerprintCounters(inputFingerprint)))
     var prev: Option[DataFrame] = None
     var converged = false
     var i = resumed.map(_._1.toInt).getOrElse(0)

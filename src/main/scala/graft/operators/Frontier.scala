@@ -139,18 +139,28 @@ object Frontier {
   }
 
   // Per-executor robots parse cache: robots bodies repeat per host, so
-  // parse each (body, agent) once per JVM rather than once per url.
+  // parse each (body, agent) once per JVM rather than once per url. Keyed
+  // on the BODY ITSELF, never a 32-bit hash: at north_star host counts
+  // (10^7-10^8 distinct robots bodies) a `String.hashCode` birthday
+  // collision (~50% at just 77k bodies) would silently serve one host the
+  // other host's allow/deny rules. ConcurrentHashMap probes pay one
+  // hashCode + an equals memcmp on hit — the same O(|body|) the old key
+  // already paid computing hashCode on each row's fresh String instance.
   @transient private lazy val robotsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), graft.codec.RobotsRules]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.codec.RobotsRules]()
   private def cachedRules(body: String, agent: String): graft.codec.RobotsRules = {
-    val key = (if (body == null) 0 else body.hashCode, agent)
+    val key = (if (body == null) "" else body, agent)
     var r = robotsCache.get(key)
     if (r == null) {
-      r = Robots.parse(if (body == null) "" else body, agent)
+      r = Robots.parse(key._1, agent)
       if (robotsCache.size < 65536) robotsCache.put(key, r)
     }
     r
   }
+  /** Test hook (forced-collision coverage): rules the cache would serve for
+    * (body, agent) — must depend on the full body, not any 32-bit hash. */
+  private[operators] def cachedRulesForTest(body: String, agent: String): graft.codec.RobotsRules =
+    cachedRules(body, agent)
 
   /** Stage 4 — robots.txt gate: broadcast-join the per-host robots dim
     * (small: one row per host) and keep urls the host's rules allow.
@@ -239,10 +249,17 @@ object Frontier {
     // durable mode: iteration i's ranks are a TableIO snapshot (id = i), so
     // a rerun over the same edges continues from the last committed
     // iteration instead of restarting (and survives executor loss — the
-    // localCheckpoint path does not; see graft.state.Durable)
-    val resumed = graft.state.Durable.resume(edges.sparkSession, rankTable, iterations.toLong)
+    // localCheckpoint path does not; see graft.state.Durable). The edge
+    // set's content fingerprint rides iteration 0's manifest and is
+    // re-derived on resume (one aggregate over the persisted edges):
+    // resuming a dir written for different edges fails loudly instead of
+    // silently returning the other graph's ranks.
+    val fp = rankTable.map(_ => graft.state.Durable.fingerprint(e))
+    val resumed = graft.state.Durable.resume(
+      edges.sparkSession, rankTable, iterations.toLong, fp)
     var rank = resumed.map(_._2).getOrElse(
-      graft.state.Durable.pin(hosts.withColumn("rank", lit(scale / n)), rankTable, 0L))
+      graft.state.Durable.pin(hosts.withColumn("rank", lit(scale / n)), rankTable, 0L,
+        graft.state.Durable.fingerprintCounters(fp)))
     var i = resumed.map(_._1.toInt).getOrElse(0)
     while (i < iterations) {
       val contrib = e

@@ -469,6 +469,11 @@ object Multimodal {
                          mediaCol: String = "media", idCol: String = "doc_id",
                          partitions: Int = 0): DataFrame = {
     require(targetBytesPerPartition > 0, "targetBytesPerPartition must be positive")
+    // the routing pass appends __g and indexes it as row.getInt(nCols): an
+    // input that already carries __g would be silently REPLACED in place by
+    // withColumn (wrong index, dropped user column) — refuse loudly
+    require(!df.columns.contains("__g"),
+      "input must not carry a __g column (internal routing-group name)")
     val spark = df.sparkSession
     val schema = df.schema
     val nCols = schema.length

@@ -45,8 +45,13 @@ object TextAnalysis {
               idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol),
-        greatest(length(col(textCol)) - 1, lit(0)).cast("int").as("n_bigrams"),
-        graft.functions.GraftFunctions.lm_slog_sum(col(textCol)).as("slog_sum"))
+        // null text degrades to (0, 0, 0.0) exactly like the oracle's
+        // left-join coalesce: both counts must come from the same null
+        // handling or a null row diverges (n_bigrams 0 vs slog_sum NULL)
+        coalesce(greatest(length(col(textCol)) - 1, lit(0)), lit(0))
+          .cast("int").as("n_bigrams"),
+        coalesce(graft.functions.GraftFunctions.lm_slog_sum(col(textCol)), lit(0L))
+          .as("slog_sum"))
       .select(col(idCol), col("n_bigrams"), col("slog_sum"),
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("slog_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
@@ -215,6 +220,8 @@ object TextAnalysis {
   private def withExclusiveCumsum(
       docs: DataFrame, textCol: String, idCol: String, partitions: Int,
       counter: Column => Column = tokenCount): DataFrame = {
+    require(!docs.columns.contains("__g"),
+      "input must not carry a __g column (internal prefix-group name)")
     val spark = docs.sparkSession
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val bounds = docs.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()

@@ -29,26 +29,58 @@ object DigestIndex {
   /** The index as a digestDedupWithCdx-compatible CDX frame. Reading the
     * bucketed table carries its partitioning into the plan: the
     * per-digest last-capture aggregate and the dedup join need NO exchange
-    * on this side. */
+    * on this side (bucket files with the same id are combined across the
+    * round partition dirs into one scan partition). The internal `round`
+    * key is dropped — consumers see the pure CDX shape. */
   def cdx(spark: SparkSession, ref: Ref): Option[DataFrame] =
     if (!exists(spark, ref)) None
-    else Some(spark.table(ref.table))
+    else Some(spark.table(ref.table).drop("round"))
 
   /** Append one round's NEW first-captures (non-revisit rows of the
     * round's deduped output). O(|new|): the existing index files are never
-    * rewritten — saveAsTable(Append) adds bucketed files per bucket key,
-    * exactly the SeenStore increment discipline for digests. */
-  def append(fetched: DataFrame, ref: Ref, captureTsCol: String = "page_ts"): Unit = {
+    * rewritten — the append adds bucketed files under this round's
+    * partition dir, exactly the SeenStore increment discipline for digests.
+    *
+    * IDEMPOTENT per round: rows live under a `round=<r>` table partition,
+    * and re-appending a round first wipes that round's files + catalog
+    * partition. The crawl's durable crash-replay re-runs a round's append
+    * BEFORE the frontier/seen commits that define the resume point — with
+    * an unkeyed append every crash would permanently duplicate the round's
+    * rows (query results survive only because digestDedupWithCdx
+    * aggregates per digest; the storage invariant would not). */
+  def append(fetched: DataFrame, ref: Ref, round: Long = 0L,
+             captureTsCol: String = "page_ts"): Unit = {
     val rows = fetched
       .filter(!col("is_revisit"))
       .select(
         col("payload_digest"),
         col("url_norm").as("target_uri"),
         col(captureTsCol).as("capture_ts"),
-        lit("response").as("record_type"))
+        lit("response").as("record_type"),
+        lit(round).as("round"))
     val spark = fetched.sparkSession
-    val mode = if (exists(spark, ref)) SaveMode.Append else SaveMode.Overwrite
-    Buckets.save(rows, ref.table, ref.path, "payload_digest", ref.nBuckets, mode)
+    if (!exists(spark, ref)) {
+      rows.write.mode(SaveMode.Overwrite).option("path", ref.path)
+        .partitionBy("round")
+        .bucketBy(ref.nBuckets, "payload_digest").sortBy("payload_digest")
+        .saveAsTable(ref.table)
+    } else {
+      // replay hygiene: drop whatever a crashed earlier append left for
+      // this round (files kept inside the dir so a registered partition
+      // location never dangles mid-wipe), then re-append
+      val dir = new java.io.File(ref.path, s"round=$round")
+      if (dir.isDirectory) dir.listFiles().foreach(deleteRec)
+      spark.sql(s"ALTER TABLE `${ref.table}` DROP IF EXISTS PARTITION (round=$round)")
+      rows.write.mode(SaveMode.Append).option("path", ref.path)
+        .partitionBy("round")
+        .bucketBy(ref.nBuckets, "payload_digest").sortBy("payload_digest")
+        .saveAsTable(ref.table)
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
   }
 
   /** Zero-row CDX frame with the index schema — lets a crawl's FIRST round

@@ -19,22 +19,55 @@ object Durable {
 
   /** Pin one iteration's result. Durable (table defined): TableIO commit
     * at snapshot id `iter`, then read back (downstream lineage = file
-    * scan). In-memory: eager localCheckpoint. */
-  def pin(df: DataFrame, table: Option[String], iter: Long): DataFrame = table match {
+    * scan). In-memory: eager localCheckpoint. `counters` ride the manifest
+    * (iteration 0 conventionally records `inputFingerprint`). */
+  def pin(df: DataFrame, table: Option[String], iter: Long,
+          counters: Map[String, Long] = Map.empty): DataFrame = table match {
     case Some(t) =>
-      TableIO.commitAs(df, t, iter)
+      TableIO.commitAs(df, t, iter, counters)
       TableIO.read(df.sparkSession, t, Some(iter)).get
     case None => df.localCheckpoint(eager = true)
   }
 
+  private val FingerprintKey = "inputFingerprint"
+
+  def fingerprintCounters(fp: Option[Long]): Map[String, Long] =
+    fp.map(f => Map(FingerprintKey -> f)).getOrElse(Map.empty)
+
+  /** Order-independent content fingerprint of an input frame: xor of
+    * per-row xxhash64 over every column, mixed with the row count. One
+    * aggregate scan of `df` — callers resuming an EXPENSIVE input plan
+    * should fingerprint a cheap upstream instead (see duplicateClusters). */
+  def fingerprint(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("x"),
+      count(lit(1)).as("n")).head()
+    r.getLong(0) * 31L + r.getLong(1)
+  }
+
   /** Resume point: the largest committed iteration ≤ `maxIter`, with its
-    * data. None when no state dir or nothing committed yet. The caller
-    * owns keying the dir to its input — resuming a dir written for a
-    * different input is undefined. */
-  def resume(spark: SparkSession, table: Option[String],
-             maxIter: Long): Option[(Long, DataFrame)] =
+    * data. None when no state dir or nothing committed yet.
+    *
+    * When `fingerprint` is given, it is validated against the
+    * `inputFingerprint` recorded by iteration 0's pin — resuming a dir
+    * written for DIFFERENT input fails loudly instead of silently
+    * returning stale labels/ranks. Without it, the caller owns keying the
+    * dir to its input (mismatched resume is undefined). */
+  def resume(spark: SparkSession, table: Option[String], maxIter: Long,
+             fingerprint: Option[Long] = None): Option[(Long, DataFrame)] =
     table.flatMap { t =>
       TableIO.listSnapshots(t).filter(_ <= maxIter).lastOption.map { id =>
+        fingerprint.foreach { fp =>
+          val recorded = TableIO.readManifest(t, 0L).counters.get(FingerprintKey)
+          require(recorded.nonEmpty,
+            s"durable state at $t predates fingerprinting — cannot validate " +
+              "it was written for this input; delete the dir to recompute")
+          require(recorded.contains(fp),
+            s"durable state at $t was written for a DIFFERENT input " +
+              s"(fingerprint ${recorded.get} != $fp) — refusing to resume " +
+              "stale iteration state; delete the dir to recompute")
+        }
         id -> TableIO.read(spark, t, Some(id)).get
       }
     }

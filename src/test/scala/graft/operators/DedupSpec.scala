@@ -116,6 +116,26 @@ class DedupSpec extends AnyFunSuite {
     assert(resumed == expect, "durable-resumed labels must equal the in-memory run")
   }
 
+  test("duplicate clusters durable state: fingerprinted resume rejects a stale dir") {
+    import spark.implicits._
+    val pairs = (1 until 8).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-fp").toString
+    // callers fingerprint a CHEAP upstream (here: the pairs themselves —
+    // in production, the source docs the LSH plan derives from)
+    val fp = graft.state.Durable.fingerprint(pairs)
+    Dedup.duplicateClusters(pairs, maxIters = 1, stateDir = Some(dir),
+      inputFingerprint = Some(fp)).collect()
+    // matching fingerprint: resumes fine
+    Dedup.duplicateClusters(pairs, stateDir = Some(dir),
+      inputFingerprint = Some(fp)).collect()
+    // different input → different fingerprint → loud failure, never stale labels
+    val e = intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(pairs, stateDir = Some(dir),
+        inputFingerprint = Some(fp + 1L))
+    }
+    assert(e.getMessage.contains("DIFFERENT input"))
+  }
+
   test("embedding near-dup via banded hyperplane LSH: recall ≥ 0.9 on noisy pairs") {
     // planted near-dups are NOISE-perturbed (direction changes!), not
     // scalar multiples — a single-signature LSH only recalls ~28% of these

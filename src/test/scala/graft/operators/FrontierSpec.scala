@@ -240,6 +240,32 @@ class FrontierSpec extends AnyFunSuite {
     assert(got == Map("a.example" -> 6, "b.example" -> 120, "c.example" -> 7, "d.example" -> 1))
   }
 
+  test("robots cache: hashCode-colliding bodies never share parsed rules") {
+    // "Aa" and "BB" collide on String.hashCode; substituting one for the
+    // other at the same position keeps the FULL body's hashCode equal, so
+    // these two different robots files are a forced 32-bit collision — a
+    // hash-keyed cache would serve one host the other host's rules.
+    val bodyA = "User-agent: *\nDisallow: /Aa\n"
+    val bodyB = "User-agent: *\nDisallow: /BB\n"
+    assert(bodyA.hashCode == bodyB.hashCode && bodyA != bodyB)
+    // probe twice each, interleaved, so the second probes hit the cache
+    (1 to 2).foreach { _ =>
+      val ra = Frontier.cachedRulesForTest(bodyA, "graftbot")
+      val rb = Frontier.cachedRulesForTest(bodyB, "graftbot")
+      assert(!ra.allows("/Aa") && ra.allows("/BB"))
+      assert(rb.allows("/Aa") && !rb.allows("/BB"))
+    }
+    // end-to-end through the broadcast-dim gate
+    val robots = Seq(("ca.example", bodyA), ("cb.example", bodyB)).toDF("host", "body")
+    val cand = Seq(
+      ("http://ca.example/Aa", "ca.example"), ("http://ca.example/BB", "ca.example"),
+      ("http://cb.example/Aa", "cb.example"), ("http://cb.example/BB", "cb.example"))
+      .toDF("url_norm", "host")
+    val kept = Frontier.applyRobots(cand, robots, Frontier.Config())
+      .select("url_norm").as[String].collect().toSet
+    assert(kept == Set("http://ca.example/BB", "http://cb.example/Aa"))
+  }
+
   test("politeness carryover: budget-pruned candidates defer, never drop") {
     // one host, budget 1, several seeds: every seed must eventually be
     // fetched, one per round, in priority order — not silently dropped
@@ -302,6 +328,23 @@ class FrontierSpec extends AnyFunSuite {
       edges.toDF("src_host", "dst_host").repartition(7), iterations = 4)
       .as[(String, Long)].collect().toMap
     assert(got2 == got, "integer ranks must be partition-layout independent")
+  }
+
+  test("hostRank durable resume: different edges fail loudly, same edges resume") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hr-fp").toString
+    val edges1 = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src_host", "dst_host")
+    val r1 = Frontier.hostRank(edges1, iterations = 2, stateDir = Some(dir))
+      .as[(String, Long)].collect().toMap
+    // same edges: resumes (and returns the committed iteration-2 ranks)
+    val r2 = Frontier.hostRank(edges1, iterations = 2, stateDir = Some(dir))
+      .as[(String, Long)].collect().toMap
+    assert(r1 == r2)
+    // DIFFERENT edges against the same dir: must refuse, not return stale ranks
+    val edges2 = Seq(("x", "y"), ("y", "x")).toDF("src_host", "dst_host")
+    val e = intercept[IllegalArgumentException] {
+      Frontier.hostRank(edges2, iterations = 2, stateDir = Some(dir))
+    }
+    assert(e.getMessage.contains("DIFFERENT input"))
   }
 
   test("scheduleByAuthority: broadcast authority dim + TakeOrderedAndProject top-k") {
@@ -398,6 +441,17 @@ class FrontierSpec extends AnyFunSuite {
     val store = graft.state.SeenStore(dir + "/seen")
     val banks = store.probeBanks(store.committedIds).length
     assert(banks <= 4, s"probe chain must stay bounded by the cadence, got $banks banks")
+    assert(res.allFetched.count() > 0)
+  }
+
+  test("in-memory crawl: capture accumulator plan stays O(1) over 16 rounds") {
+    // without periodic collapse, allFetched is a union of one checkpoint
+    // leaf PER ROUND — O(rounds) analysis cost on every downstream use; the
+    // cadence-8 collapse bounds the live plan at <8 leaves forever
+    val res = Crawl.crawl(spark, web, seeds, 16, None, Some(politenessDf), cfg)
+    assert(res.rounds.length >= 16, s"web must sustain 16 rounds, got ${res.rounds.length}")
+    val leaves = res.allFetched.queryExecution.analyzed.collectLeaves().size
+    assert(leaves < 8, s"capture accumulator must collapse periodically, got $leaves leaves")
     assert(res.allFetched.count() > 0)
   }
 

@@ -39,7 +39,13 @@ class DigestIndexSpec extends AnyFunSuite {
     val cfg = Frontier.Config()
     try {
       val r1 = Frontier.digestDedup(pages(0L until 40L), cfg)
-      DigestIndex.append(r1, ref, captureTsCol = "warc_ts")
+      DigestIndex.append(r1, ref, round = 0L, captureTsCol = "warc_ts")
+      // crash-replay idempotency: re-appending the SAME round must leave
+      // the index byte-identical (partition overwrite), never duplicated
+      val rowsAfterFirst = DigestIndex.cdx(spark, ref).get.count()
+      DigestIndex.append(r1, ref, round = 0L, captureTsCol = "warc_ts")
+      assert(DigestIndex.cdx(spark, ref).get.count() == rowsAfterFirst,
+        "replaying a round's append must not grow the index")
 
       val round2 = Frontier.digestDedupWithCdx(pages(40L until 80L),
         DigestIndex.cdx(spark, ref).get, cfg)
@@ -57,7 +63,7 @@ class DigestIndexSpec extends AnyFunSuite {
 
       // append round 2's captures; round 3 must STILL read both appended
       // generations exchange-free (the append never rewrites old files)
-      DigestIndex.append(round2, ref, captureTsCol = "warc_ts")
+      DigestIndex.append(round2, ref, round = 1L, captureTsCol = "warc_ts")
       val round3 = Frontier.digestDedupWithCdx(pages(80L until 120L),
         DigestIndex.cdx(spark, ref).get, cfg)
       val plan3 = round3.queryExecution.executedPlan
