@@ -57,10 +57,12 @@ object Bench {
       }
       times.sorted.apply(1)
     }
+    // evaluate() (not count()) — the same honest basis as the per-query
+    // timings: count() over the rank filter did evaluate the windows, but
+    // the uniform basis evaluates the output columns too (r5 re-base)
     val schedSec = median3 {
       val filtered = store.filterUnseen(canon)
-      val scheduled = Frontier.schedule(filtered.result, None, cfg)
-      require(scheduled.count() > 0)
+      evaluate(Frontier.schedule(filtered.result, None, cfg))
       filtered.release()
     }
     val extractSec = median3 {

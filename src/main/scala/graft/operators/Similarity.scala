@@ -99,36 +99,47 @@ object Similarity {
     * the same driver footprint ivfAssign's broadcast already pays. */
   def refineCentroids(corpus: DataFrame, centroids: DataFrame, iterations: Int = 3,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      scaleBits: Int = 20): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+                      scaleBits: Int = 20,
+                      stateDir: Option[String] = None): DataFrame = {
     val scale = (1L << scaleBits).toDouble
-    var cents = centroids
-    var it = 0
+    // EXECUTOR-SIDE codebook rebuild: the per-(cell, dim) fixed-point sums
+    // stay distributed — grouped back into arrays and joined against the
+    // previous codebook (empty cells keep their centroid) without ever
+    // collecting per-dim rows to the driver. At a 65k-cell × 768-dim
+    // codebook the old collect() path shipped ~50M aggregate rows per
+    // iteration through the driver; now the driver touches the codebook
+    // only where it must — ivfAssign's broadcast of the (codebook-sized)
+    // centroid table. Each iteration is pinned (Durable: TableIO snapshot
+    // when stateDir is set — fault-tolerant, resumable by iteration id —
+    // else an eager localCheckpoint), so plans stay leaf-sized and the
+    // integer arithmetic ((s div n) truncating, like the sequential
+    // replay) keeps the result bitwise reproducible at any parallelism.
+    val table = stateDir.map(_ + "/ivf_codebook")
+    val resumed = graft.state.Durable.resume(
+      corpus.sparkSession, table, iterations.toLong)
+    var cents = resumed.map(_._2).getOrElse(
+      graft.state.Durable.pin(
+        centroids.select(col("cell_id"), col("centroid")), table, 0L))
+    var it = resumed.map(_._1.toInt).getOrElse(0)
     while (it < iterations) {
       val assigned = ivfAssign(corpus, cents, idCol, vecCol)
-      val agg = assigned
+      val means = assigned
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(sum(round(col("v").cast("double") * scale).cast("long")).as("s"),
           count(lit(1)).as("n"))
-        .collect()
-      val byCell = agg.groupBy(_.getLong(0))
-      val newRows = cents.select(col("cell_id"), col("centroid")).orderBy("cell_id").collect()
-        .map { r =>
-          val id = r.getLong(0)
-          val prev = r.getSeq[Float](1).toArray
-          byCell.get(id) match {
-            case Some(comps) =>
-              val arr = prev.clone()
-              comps.foreach { c =>
-                arr(c.getInt(1)) = ((c.getLong(2) / c.getLong(3)) / scale).toFloat
-              }
-              (id, arr.toSeq)
-            case None => (id, prev.toSeq)
-          }
-        }
-      cents = newRows.toSeq.toDF("cell_id", "centroid")
+        .select(col("cell_id"), col("pos"), expr("s div n").as("m"))
+      val rebuilt = means
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("comps"))
+        .select(col("cell_id"),
+          transform(col("comps"), c =>
+            (c.getField("m").cast("double") / lit(scale)).cast("float")).as("__new"))
+      cents = graft.state.Durable.pin(
+        cents.join(rebuilt, Seq("cell_id"), "left")
+          .select(col("cell_id"),
+            coalesce(col("__new"), col("centroid")).as("centroid")),
+        table, it + 1L)
       it += 1
     }
     cents

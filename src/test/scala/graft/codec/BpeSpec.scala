@@ -37,6 +37,22 @@ class BpeSpec extends AnyFunSuite {
       "committed bpe_merges.txt does not match deterministic retraining — rerun BpeGen")
   }
 
+  test("distributed trainer is bit-identical to the sequential loop") {
+    // 60 merges over the committed corpus through BOTH trainers; every
+    // aggregate is an integer sum and the argmax order is total, so the
+    // Spark path must reproduce the driver loop exactly — and therefore
+    // the committed table's head too (prefix stability)
+    val spark = graft.GraftSession.local(4)
+    val dist = Bpe.trainDistributed(BpeGen.corpusDf(spark), nMerges = 60)
+    val seq = Bpe.train(
+      (0L until BpeGen.CorpusDocs).iterator
+        .map(id => PagesGen.genText(id, BpeGen.CorpusSeed, BpeGen.CorpusDocs)._1),
+      nMerges = 60)
+    assert(dist == seq, "distributed and sequential merge sequences diverge")
+    assert(dist == Bpe.defaultMerges.take(60),
+      "distributed training does not reproduce the committed table head")
+  }
+
   test("greedy lowest-rank encode equals the rank-order sequential sweep") {
     // the equivalence the DuckDB replace()-chain oracle relies on
     def sweep(tok: String): Array[String] = {

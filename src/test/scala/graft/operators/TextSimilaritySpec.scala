@@ -182,6 +182,26 @@ class SimilaritySpec extends AnyFunSuite {
     // split; the contract here is bitwise determinism, not global optima)
   }
 
+  test("refineCentroids at a 4096-cell codebook: rebuild stays executor-side") {
+    // 8192 vectors in 8-d, one init cell per pair — a codebook too large
+    // for any driver-built LocalRelation path to be acceptable
+    val corpus = spark.range(8192L)
+      .selectExpr("id as vec_id",
+        "transform(sequence(0, 7), d -> cast(((id * 31 + d * 7) % 17 - 8) / 8.0 as float)) as embedding")
+    val cents0 = Similarity.initCentroids(corpus, nCells = 4096, "vec_id", "embedding")
+    val refined = Similarity.refineCentroids(corpus, cents0, iterations = 1)
+    // structural evidence of the executor-side rebuild: the result is a
+    // checkpoint/file scan (join output), never a driver-collected
+    // LocalRelation like the old collect()-and-toDF path
+    val locals = refined.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.isEmpty, "refined codebook must not be a driver-built LocalRelation")
+    assert(refined.count() == 4096L)
+    // empty-cell fallback: every cell id survives with a full-width vector
+    assert(refined.selectExpr("size(centroid)").distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+  }
+
   test("IVF recall does not regress with Lloyd-refined centroids") {
     val queries = embs.filter(col("vec_id") < 20)
     val cents0 = Similarity.initCentroids(embs, nCells = 16, "vec_id", "embedding")
