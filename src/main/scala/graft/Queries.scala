@@ -103,6 +103,12 @@ object Queries {
         "(doc_id % 89) % 7 AS h",
         "(doc_id % 89) % 13 AS g",
         "TIMESTAMP '2022-03-20 03:55:45' + make_interval(0, 0, 0, 0, 0, 0, (doc_id * 7) % 100000) AS warc_ts")
+      // bodies are a pure function of g, so captures of the same u are
+      // byte-identical: fold the capture set to first-capture-per-url
+      // BEFORE synthesizing the multi-KB bodies (exactly the oracle's
+      // `min(ts) GROUP BY u, h, g` web CTE) — building 5000 bodies to
+      // have asWeb's dedup discard 98% of them was pure scaffolding cost
+      .groupBy("u", "h", "g").agg(min(col("warc_ts")).as("warc_ts"))
       .withColumn("body", concat(
         lit("<a href=\""), lit("https://host"),
         expr("CAST(((g*2+1) % 89) % 7 AS STRING)"), lit(".example/doc/"),
@@ -120,6 +126,10 @@ object Queries {
           lit("\r\n\r\n"), col("body")).cast("binary").as("html"),
         col("body").as("text"),
         lit("en").as("lang"))
+
+  /** F07Prof's hook into the private closed-form web (diagnostics only). */
+  private[graft] def webLiteForProf(s: SparkSession, dir: String): DataFrame =
+    webLite(s, dir)
 
   /** One unrolled crawl round for the f07 DuckDB oracle. Mirrors
     * Crawl.round exactly: in-batch first-wins (depth asc, ts desc), seen
@@ -377,6 +387,16 @@ object Queries {
       // PagesGen-web conformance (all 4 HTTP transfer modes, sequential
       // reference simulation) stays in CrawlSpec.
       import s.implicits._
+      // reducer count sized to the round, not the session: a 3-round
+      // 89-url frontier never fills 32 reducers, and at this cardinality
+      // the bottleneck is per-stage task orchestration — 8× fewer reducers
+      // is a pure fixed-cost cut (AQE coalesces partitions but still pays
+      // per-stage scheduling). Restored after the loop: the returned plan
+      // and every other query keep the session default, and a real
+      // (10^9-url-round) crawl would too.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       // the web is joined in EVERY round's job: checkpoint it once so each
       // round plans and scans a leaf, not the full derivation
       val web = Crawl.asWeb(Queries.webLite(s, dir)).localCheckpoint(true)
@@ -390,7 +410,12 @@ object Queries {
         .toDF("url")
         .withColumn("depth", lit(0))
         .withColumn("warc_ts", expr("TIMESTAMP '2022-03-20 03:55:45'"))
-      val cfg = Frontier.Config(defaultBudget = 2, saltBuckets = 8)
+      // budgets are 1 + h % 3 ∈ {1,2,3}: hint the literal rank bound so no
+      // round pays the per-call max(budget) driver aggregate. Single-phase
+      // schedule (the salted pre-rank would add a full-frontier exchange
+      // per round for nothing at this cluster width — f04 keeps the salted
+      // plan under oracle + plan-assert coverage; both emit identical rows)
+      val cfg = Frontier.Config(defaultBudget = 2, maxBudgetHint = 3)
       var frontier = seeds
       var seen: Option[DataFrame] = None
       var out: Option[DataFrame] = None
@@ -417,7 +442,10 @@ object Queries {
         frontier = ck.filter(col("__t") === 2).select("url", "depth", "warc_ts")
         o.release()
       }
-      out.get.orderBy("round", "url_norm")
+      // 19 output rows: one partition sorts them without a range-partition
+      // sampling pass (global order still holds — single partition)
+      out.get.coalesce(1).sortWithinPartitions("round", "url_norm")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     "f09_cdx_dedup" -> ((s, dir) => {

@@ -37,14 +37,21 @@ object Crawl {
       allFetched: DataFrame)
 
   /** The pages table as "the web": keyed by canonical url (one page per
-    * canonical url, first capture wins deterministically). */
-  def asWeb(pages: DataFrame): DataFrame = {
-    val canon = Frontier.canonicalize(pages)
-      .select(col("url_norm"), col("warc_ts").as("page_ts"),
-        col("html"), col("text"), col("lang"))
-    Frontier.firstSeenWins(canon, col("url_norm"),
-      Seq(col("page_ts").asc, col("url_norm").asc))
-  }
+    * canonical url, first capture wins deterministically). First-wins as a
+    * lexicographic min(struct) AGGREGATE, not a row_number window: the min
+    * is partially aggregated map-side, so the exchange carries at most
+    * |distinct urls| rows per task instead of every capture's full html —
+    * at web scale (many captures per url) the window form ships the whole
+    * corpus through one shuffle to immediately discard the non-first rows.
+    * Order = (page_ts, html, text, lang) lexicographic: earliest capture
+    * wins, payload bytes break exact-timestamp ties deterministically. */
+  def asWeb(pages: DataFrame): DataFrame =
+    Frontier.canonicalize(pages)
+      .groupBy(col("url_norm"))
+      .agg(min(struct(col("warc_ts").as("page_ts"), col("html"),
+        col("text"), col("lang"))).as("w"))
+      .select(col("url_norm"), col("w.page_ts").as("page_ts"),
+        col("w.html").as("html"), col("w.text").as("text"), col("w.lang").as("lang"))
 
   /** A3 global counters over a round's captures. Exposed as expressions so
     * `crawl` can ride them on the round's ONE materialization via

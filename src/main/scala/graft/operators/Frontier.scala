@@ -39,7 +39,17 @@ object Frontier {
       // SeenStore.compact() cadence in crawl rounds: every k-th round the
       // probe chain collapses back to one bank, keeping the per-candidate
       // seen probe O(1) in crawl rounds (≤ k banks ever visible). 0 = never.
-      seenCompactEvery: Int = 8)
+      seenCompactEvery: Int = 8,
+      // schedule()'s literal rank bound (what lets Catalyst plant the
+      // map-side WindowGroupLimit). 0 = derive it per call with a tiny
+      // driver aggregate over the politeness dim; a caller that KNOWS the
+      // dim's max budget (a crawl loop reusing one dim across rounds) sets
+      // it once and saves that per-round driver action. MUST be ≥ the
+      // dim's true max budget — the per-host `__budget` bound stays the
+      // binding filter whenever it is (identical output), while an
+      // undersized hint would silently cap hot hosts (asserted against in
+      // FrontierSpec).
+      maxBudgetHint: Int = 0)
 
   /** Stage 1 — canonicalize: dirty url → RFC-3986 normal form, host,
     * xxhash64 identity. Runs inside one whole-stage-codegen span (all
@@ -80,27 +90,31 @@ object Frontier {
     * threshold and the empty payload are never deduped. Expects columns
     * (payload_digest, payload_len, url_norm, warc_ts). */
   def digestDedup(df: DataFrame, cfg: Config, captureTsCol: String = "warc_ts"): DataFrame = {
-    // exempt rows must not occupy ranks in a digest group, so the window
-    // runs over eligible rows only and exempt rows are unioned back
+    // exempt rows must not occupy ranks in a digest group. ONE window over
+    // all rows, partitioned by (eligibility, digest): eligible rows rank
+    // exactly as a digest-only window over the eligible subset would (their
+    // partition IS the digest group), exempt rows rank within partitions
+    // the projection below never reads. The former filter/union split
+    // referenced the upstream tree twice — scanning the round's cached data
+    // two extra times and doubling the plan Catalyst analyzes per crawl
+    // round; this shape scans once, and the exchange carries each row once
+    // (at real crawl payload sizes most rows clear the 2048-byte threshold,
+    // so the union plan's "window only over eligible rows" saved nothing).
     val eligible = coalesce(
       col("payload_len") >= cfg.sizeThreshold &&
         col("payload_len") > 0 && col("payload_digest").isNotNull,
       lit(false))
-    val w = Window.partitionBy("payload_digest")
+    val w = Window.partitionBy(col("__el"), col("payload_digest"))
       .orderBy(col("warc_ts").asc, col("url_norm").asc)
-    val marked = df.filter(eligible)
+    val dup = col("__el") && col("__rn") > 1
+    df.withColumn("__el", eligible)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__first_url", first(col("url_norm")).over(w))
       .withColumn("__first_ts", first(col(captureTsCol)).over(w))
-      .withColumn("is_revisit", col("__rn") > 1)
-      .withColumn("refers_to_url", when(col("__rn") > 1, col("__first_url")))
-      .withColumn("refers_to_ts", when(col("__rn") > 1, col("__first_ts")))
-      .drop("__rn", "__first_url", "__first_ts")
-    val exempt = df.filter(!eligible)
-      .withColumn("is_revisit", lit(false))
-      .withColumn("refers_to_url", lit(null).cast("string"))
-      .withColumn("refers_to_ts", lit(null).cast("timestamp"))
-    marked.unionByName(exempt)
+      .withColumn("is_revisit", dup)
+      .withColumn("refers_to_url", when(dup, col("__first_url")))
+      .withColumn("refers_to_ts", when(dup, col("__first_ts")).cast("timestamp"))
+      .drop("__el", "__rn", "__first_url", "__first_ts")
   }
 
   /** Stage 3b — local-then-remote dedup (J3): rows that are local firsts
@@ -386,10 +400,12 @@ object Frontier {
     // heap prune that paid object ser/de for every frontier row. The
     // politeness dim is small (one row per known host): the max() is a
     // driver-side scalar over a broadcast-sized table, computed once.
-    val maxBudget = politeness
-      .map(p => math.max(cfg.defaultBudget,
-        p.agg(coalesce(max(col("budget").cast("int")), lit(0))).head.getInt(0)))
-      .getOrElse(cfg.defaultBudget)
+    val maxBudget =
+      if (cfg.maxBudgetHint > 0) math.max(cfg.defaultBudget, cfg.maxBudgetHint)
+      else politeness
+        .map(p => math.max(cfg.defaultBudget,
+          p.agg(coalesce(max(col("budget").cast("int")), lit(0))).head.getInt(0)))
+        .getOrElse(cfg.defaultBudget)
     val phaseA =
       if (cfg.saltBuckets <= 1) withBudget
       else {

@@ -198,6 +198,14 @@ class FrontierSpec extends AnyFunSuite {
         .select("url_norm", "batch_rank").as[(String, Int)].collect().toMap
       assert(got == want, s"saltBuckets=$salt")
     }
+    // an adequate maxBudgetHint (≥ the dim's true max) is a pure driver-job
+    // saving: identical output, the per-host __budget bound stays binding
+    val maxB = budgets.values.max
+    for (hint <- Seq(maxB, maxB + 5)) {
+      val got = Frontier.schedule(canon, Some(politenessDf), cfg.copy(maxBudgetHint = hint))
+        .select("url_norm", "batch_rank").as[(String, Int)].collect().toMap
+      assert(got == want, s"maxBudgetHint=$hint")
+    }
   }
 
   test("full crawl matches the sequential oracle for 3 rounds") {
