@@ -389,13 +389,17 @@ object Queries {
       import s.implicits._
       // reducer count sized to the round, not the session: a 3-round
       // 89-url frontier never fills 32 reducers, and at this cardinality
-      // the bottleneck is per-stage task orchestration — 8× fewer reducers
-      // is a pure fixed-cost cut (AQE coalesces partitions but still pays
-      // per-stage scheduling). Restored after the loop: the returned plan
-      // and every other query keep the session default, and a real
-      // (10^9-url-round) crawl would too.
+      // the bottleneck is per-stage orchestration, so ONE reducer and AQE
+      // off (AQE turns each of the round's ~5 exchanges into a separate
+      // query-stage job submission — pure fixed cost when every stage is
+      // one task; measured -20% wall via F07Prof A/B). Restored after the
+      // loop: the returned plan and every other query keep the session
+      // defaults, and a real (10^9-url-round) crawl would too — there AQE's
+      // runtime re-plan earns its overhead back on skew.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
       // the web is joined in EVERY round's job: checkpoint it once so each
       // round plans and scans a leaf, not the full derivation
@@ -445,7 +449,10 @@ object Queries {
       // 19 output rows: one partition sorts them without a range-partition
       // sampling pass (global order still holds — single partition)
       out.get.coalesce(1).sortWithinPartitions("round", "url_norm")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     }),
 
     "f09_cdx_dedup" -> ((s, dir) => {
@@ -1553,7 +1560,24 @@ object Queries {
         |AS t(n_shared, n_docs) ORDER BY n_shared""".stripMargin,
 
     "d02_minhash_pairs" ->
-      s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
+      // cap-aware, applied BEFORE the shingle self-join: the Spark side
+      // truncates every LSH bucket to its 64 smallest ids, and the planted
+      // dup-block groups are collision-free (identical texts → identical
+      // signatures → the bucket IS the group), so the first-64-per-group
+      // `kept` set decides same-group pairs up front. Pre-filtering the
+      // non-kept dup docs out of `p` is exact: a same-group pair needs
+      // BOTH ends kept, cross-group dup texts share no shingle, and a
+      // dup/real mixed pair shares no shingle either (the 'dup-block-N'
+      // token never occurs in generated text) — verified by an old-vs-new
+      // SQL diff at sf0.01 and sf0.1. Without this, the oracle's candidate
+      // join is O(sum over groups of |group|^2) and explodes at 10× sweeps
+      // (sf1: ~19.5k-member groups → ~1.3e9 pre-cap pairs).
+      s"""WITH ranked AS (
+         | SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
+         | FROM documents WHERE doc_id % 11 < 3),
+         |kept AS (SELECT doc_id FROM ranked WHERE rn <= 64),
+         |p AS (SELECT doc_id, $text2Duck AS text2 FROM documents
+         |      WHERE doc_id % 11 >= 3 OR doc_id IN (SELECT doc_id FROM kept)),
          |tok AS (
          | SELECT doc_id,
          |  list_filter(regexp_split_to_array(lower(trim(text2)), '\\s+'), x -> len(x) > 0) AS ts
@@ -1575,14 +1599,7 @@ object Queries {
          | FROM cand
          | JOIN sh sa ON sa.doc_id = id_a
          | JOIN sh sb ON sb.doc_id = id_b)
-         |,ranked AS (
-         | SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
-         | FROM documents WHERE doc_id % 11 < 3),
-         |kept AS (SELECT doc_id FROM ranked WHERE rn <= 64)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
-         |  AND (NOT (id_a % 11 < 3 AND id_b % 11 < 3 AND id_a % 7 = id_b % 7)
-         |       OR (id_a IN (SELECT doc_id FROM kept)
-         |           AND id_b IN (SELECT doc_id FROM kept)))
          |ORDER BY id_a, id_b""".stripMargin,
 
     "d05_dup_clusters" ->
