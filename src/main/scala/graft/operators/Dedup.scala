@@ -11,6 +11,41 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** "No silent caps" observability that survives AQE empty-relation
+    * pruning. Attaching `.observe(...)` directly to the bucket aggregate
+    * is NOT enough: if every downstream stage of that branch materializes
+    * empty (no candidate survives the verify filter — precisely the runs
+    * where a silent cap would be most misleading), adaptive execution
+    * replaces the whole branch with an empty LocalTableScan and the
+    * CollectMetrics node vanishes from the final plan, taking the metric
+    * with it. Instead the truncated-bucket count rides the DATA as a
+    * 1-row sentinel branch (a global aggregate always materializes
+    * exactly one row, so AQE can never empty-prune it), the observe sits
+    * at the TOP of the final union (the result stage, which always
+    * executes and is never replaced), and the sentinel is filtered back
+    * out just above it. The sentinel branch reuses the bucket groupBy's
+    * exchange (ReusedExchange), so its cost is one extra tiny reduce —
+    * never a rescan of the corpus.
+    *
+    * `bucketAgg` must expose one row per bucket with its pre-cap row
+    * count in `nCol`. */
+  private def observedTruncation(
+      out: DataFrame,
+      bucketAgg: DataFrame,
+      nCol: String,
+      maxBucket: Int,
+      metricName: String): DataFrame = {
+    val sentinel = bucketAgg
+      .agg(coalesce(sum(when(col(nCol) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("__trunc"))
+      .select(out.schema.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) :+ col("__trunc"): _*)
+    out.withColumn("__trunc", lit(null).cast("long"))
+      .unionByName(sentinel)
+      .observe(metricName, max(col("__trunc")).as("truncated_buckets"))
+      .filter(col("__trunc").isNull)
+      .drop("__trunc")
+  }
+
   /** Exact dedup: group by content digest, keep the first (min key) row.
     * Equivalent to the reference's payload-digest first-wins (J2) on whole
     * documents. */
@@ -84,16 +119,16 @@ object Dedup {
 
     // no silent caps: buckets past maxBucket are truncated, and the count
     // of truncated buckets is observable (queryExecution.observedMetrics
-    // after any action) so a capped run never reads as exhaustive
-    val buckets = withSig
+    // after any action) so a capped run never reads as exhaustive —
+    // attached AQE-pruning-proof via observedTruncation at the end
+    val bucketAgg = withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
       .groupBy(col("bk"))
       .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"),
         count(lit(1)).as("__n"))
-      .filter(size(col("ids")) > 1)
-      .observe("minhash_buckets",
-        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+    val buckets = bucketAgg
       .drop("__n")
+      .filter(size(col("ids")) > 1)
 
     // within-bucket ordered pairs (a < b), dedup across bands
     val pairs = buckets
@@ -113,7 +148,7 @@ object Dedup {
         split(trim(lower(col("t"))), "\\s+").as("__ws"))
       .select(col(s"id_$side"),
         array_distinct(shinglesFrom(col("__ws"), k)).as(s"sh_$side"))
-    pairs
+    val verified = pairs
       .join(shingleSet("a"), "id_a")
       .join(shingleSet("b"), "id_b")
       .withColumn("jaccard",
@@ -123,6 +158,7 @@ object Dedup {
               size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    observedTruncation(verified, bucketAgg, "__n", maxBucket, "minhash_buckets")
   }
 
   // --- SimHash ------------------------------------------------------------
@@ -130,41 +166,104 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair within
-    * hamming distance ≤3 of a 64-bit hash must agree on at least one
-    * quarter — pigeonhole), then verify exact hamming distance. */
+  /** SimHash near-dup pairs: block on combinations of hash blocks (by
+    * pigeonhole, a pair within hamming distance ≤ maxHamming of a 64-bit
+    * hash must agree on at least one key — with the default blocks=4,
+    * d=3 that is the classic "one 16-bit quarter matches" scheme), then
+    * verify exact hamming distance.
+    *
+    * Two-lane design, split on hash identity, so the result is EXACT at
+    * any corpus scale (no row cap can drop a true pair):
+    *
+    *  - identical-hash pairs (hamming 0 — in web corpora by far the
+    *    heaviest case: boilerplate/mirror clusters with thousands of
+    *    members) come from a plain self-equi-join on `h`. A sort-merge
+    *    join streams a giant hash group's quadratic output without ever
+    *    materializing it as one in-memory array, and its size is the
+    *    ANSWER size — no cap belongs here.
+    *  - distinct-hash near-dups (hamming 1..maxHamming) go through the
+    *    quarter blocking, but over DISTINCT hash values only, so an
+    *    N-thousand-member duplicate cluster occupies ONE slot per bucket
+    *    instead of flooding it. `maxBucket` caps distinct hashes per
+    *    16-bit bucket (random quarter collisions; observable, never
+    *    silent), surviving hash pairs are deduped across the 4 quarters
+    *    while still hash-typed (tiny), then expanded to id pairs by two
+    *    joins back to the corpus — expansion is again output-sized.
+    *
+    * The lanes are disjoint (hamming 0 vs ≥ 1), so the union needs no
+    * final output-wide `distinct()` — the only dedup shuffle left is on
+    * the small distinct-hash pair set. */
   def simhashPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 3,
       maxHamming: Int = 3,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
+    require(blocks > maxHamming,
+      s"need blocks > maxHamming for the pigeonhole guarantee (got $blocks <= $maxHamming)")
     val withHash = docs
       .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
       .filter(length(col("t")) > 0)
       .withColumn("h", graft.functions.GraftFunctions.simhash64(col("t"), k))
       .select("id", "h")
       .cache()
-    import graft.functions.GraftFunctions.shiftright_dyn
-    val blocked = withHash
-      .select(col("id"), col("h"), explode(transform(sequence(lit(0), lit(3)), q =>
-        struct(q.as("q"), shiftright_dyn(col("h"), q * 16).bitwiseAND(lit(0xffffL)).as("key")))).as("blk"))
+
+    // lane 1: identical hashes → hamming 0, exact, output-size-bound
+    val same = withHash.as("a")
+      .join(withHash.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+
+    // lane 2: distinct hashes through block-combination keys (Manku/Jain/
+    // Das Sarma, WWW'07 construction): split the 64 bits into `blocks`
+    // equal blocks; a pair within hamming ≤ d leaves ≥ blocks-d blocks
+    // untouched, so keying on EVERY (blocks-d)-subset of blocks guarantees
+    // the pair shares at least one key. blocks=4, d=3 degenerates to the
+    // classic 16-bit-quarter scheme (4 single-block keys); at 10^9+
+    // distinct hashes those 65,536-slot buckets saturate (~15k hashes per
+    // bucket, all capped away), so scale callers set blocks=8 → C(8,5)=56
+    // keys of 40 bits each, which stay sparse past 2^40 distinct hashes.
+    // Each key's selected blocks are packed into ONE long ((blocks-d)·w
+    // < 64 bits), so the exchange stays (int, long) regardless of blocks.
+    // The truncation counter (attached at the end via observedTruncation)
+    // counts buckets with more DISTINCT hashes than the cap —
+    // identical-hash floods can't trip it.
+    val w = 64 / blocks
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val keyCols: Seq[Column] = (0 until blocks).combinations(blocks - maxHamming)
+      .toSeq.zipWithIndex.map { case (ss, idx) =>
+        val packed = ss.zipWithIndex.map { case (j, pos) =>
+          shiftleft(shiftrightunsigned(col("h"), j * w).bitwiseAND(lit(mask)), pos * w)
+        }.reduce(_.bitwiseOR(_))
+        struct(lit(idx).as("q"), packed.as("key"))
+      }
+    val reps = withHash.select(col("h")).distinct()
+    val bucketAgg = reps
+      .select(col("h"), explode(array(keyCols: _*)).as("blk"))
       .groupBy(col("blk"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("h")))), 1, maxBucket).as("rows"),
+      .agg(slice(sort_array(collect_list(col("h"))), 1, maxBucket).as("hs"),
         count(lit(1)).as("__n"))
-      .filter(size(col("rows")) > 1)
-      // no silent caps (see minhashPairs)
-      .observe("simhash_buckets",
-        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+    val blocked = bucketAgg
       .drop("__n")
-    blocked
+      .filter(size(col("hs")) > 1)
+    val hashPairs = blocked
       .select(explode(expr(
-        "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.h as h_a, b.h as h_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        "flatten(transform(hs, (a, i) -> transform(slice(hs, i + 2, size(hs)), b -> struct(a as h_a, b as h_b))))")).as("p"))
+      .select(col("p.h_a").as("h_a"), col("p.h_b").as("h_b"),
         hamming64(col("p.h_a"), col("p.h_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .distinct() // a hash pair can agree on several block-combination keys
+    val near = hashPairs
+      .join(withHash.select(col("id").as("ia"), col("h").as("h_a")), "h_a")
+      .join(withHash.select(col("id").as("ib"), col("h").as("h_b")), "h_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+
+    observedTruncation(same.unionByName(near), bucketAgg, "__n", maxBucket,
+      "simhash_buckets")
   }
 
   /** Character n-gram Jaccard similarity between candidate pairs — exact
@@ -445,21 +544,21 @@ object Dedup {
     import graft.functions.GraftFunctions.hyperplane_sigs
     val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sigs", hyperplane_sigs(col("v"), nTables, bandBits, seed))
-    withSig
+    val bucketAgg = withSig
       .select(col("id"), col("v"), posexplode(col("sigs")).as(Seq("t", "sig")))
       .groupBy(col("t"), col("sig"))
       .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("rows"),
         count(lit(1)).as("__n"))
-      .filter(size(col("rows")) > 1)
-      // no silent caps (see minhashPairs)
-      .observe("embedding_buckets",
-        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+    val verified = bucketAgg
       .drop("__n")
+      .filter(size(col("rows")) > 1)
       .select(explode(expr(
         "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.v as v_a, b.v as v_b))))")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         cosine(col("p.v_a"), col("p.v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+    // no silent caps (see minhashPairs / observedTruncation)
+    observedTruncation(verified, bucketAgg, "__n", maxBucket, "embedding_buckets")
   }
 }

@@ -55,7 +55,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash pairs: hamming distances verified against brute force") {
-    val got = Dedup.simhashPairs(docs, k = 3, maxHamming = 10)
+    // blocks=8 > maxHamming=7 keeps the pigeonhole recall guarantee at a
+    // wider distance than the default (4, 3) configuration allows
+    val got = Dedup.simhashPairs(docs, k = 3, maxHamming = 7, blocks = 8)
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
     assert(got.contains((0L, 1L)) && got((0L, 1L)) == 0L, "identical docs → hamming 0")
     // verify each reported distance against a driver-side kernel recompute
@@ -64,6 +66,26 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case ((a, b), h) =>
       assert(java.lang.Long.bitCount(local(a) ^ local(b)).toLong == h)
     }
+    // EXACT recall at the guarantee: every true pair within maxHamming is
+    // reported (pigeonhole over C(8,1) byte blocks)
+    val ids = local.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b) {
+      val d = java.lang.Long.bitCount(local(a) ^ local(b)).toLong
+      if (d <= 7L) assert(got.get((a, b)).contains(d), s"missed true pair ($a,$b) at hamming $d")
+      else assert(!got.contains((a, b)), s"false positive ($a,$b) past maxHamming")
+    }
+  }
+
+  test("simhash blocking: wider Manku keys (blocks=8) agree with the quarter scheme") {
+    // same guarantee region (d<=3): blocks=4 (quarters) and blocks=8
+    // (C(8,5)=56 packed 40-bit keys — the >10^9-distinct-hash config) must
+    // produce EXACTLY the same pair set
+    def run(blocks: Int) = Dedup.simhashPairs(docs, k = 3, maxHamming = 3, blocks = blocks)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(8) == run(4))
+    // invalid configs fail loudly, never silently lose recall
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 4, blocks = 4))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, blocks = 5))
   }
 
   test("ngram jaccard column matches scala oracle") {
@@ -240,11 +262,29 @@ class DedupSpec extends AnyFunSuite {
     small.collect()
     assert(small.queryExecution.observedMetrics("minhash_buckets")
       .getAs[Long]("truncated_buckets") == 0L)
-    // simhash gets the same counter
-    val sh = Dedup.simhashPairs(ds, maxBucket = 8)
-    sh.collect()
-    assert(sh.queryExecution.observedMetrics("simhash_buckets")
-      .getAs[Long]("truncated_buckets") > 0L)
+    // simhash gets the same counter — but its cap applies to DISTINCT
+    // hashes per quarter bucket, so identical docs can't trip it...
+    val shSame = Dedup.simhashPairs(ds, maxBucket = 8)
+    shSame.collect()
+    assert(shSame.queryExecution.observedMetrics("simhash_buckets")
+      .getAs[Long]("truncated_buckets") == 0L,
+      "identical-hash floods must NOT truncate (paired exactly by the equi-join lane)")
+    // ...and the 40×-identical cluster is paired in FULL despite the cap
+    assert(shSame.count() == 40L * 39L / 2L,
+      "exact-dup cluster pairs must never be capped")
+    // distinct hashes DO trip it: find texts whose simhashes collide on a
+    // quarter (deterministic — kernel recomputed driver-side), cap at 1
+    val texts = (0 until 400).map(i => (i.toLong, s"variant $i of ${base.take(40)}"))
+    val quarters = texts.map { case (_, t) => graft.codec.Hashing.simhash64(t, 3) }
+      .flatMap(h => (0 until 4).map(q => (q, (h >>> (q * 16)) & 0xffffL)))
+    assert(quarters.size != quarters.distinct.size,
+      "fixture must contain at least one quarter-key collision between distinct hashes")
+    val shDistinct = Dedup.simhashPairs(texts.toDF("doc_id", "text"),
+      maxBucket = 1)
+    shDistinct.collect()
+    assert(shDistinct.queryExecution.observedMetrics("simhash_buckets")
+      .getAs[Long]("truncated_buckets") > 0L,
+      "over-cap distinct-hash buckets must be counted, never silently dropped")
   }
 
   test("decontaminate: flags docs sharing an n-gram with the eval set, exact hit counts") {
