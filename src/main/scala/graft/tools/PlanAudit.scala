@@ -95,10 +95,29 @@ object PlanAudit {
 
   /** Every audited plan, regardless of query: no cartesian blow-up, no
     * single-partition exchange (a global Window.orderBy / global sort in
-    * the middle of a pipeline), no Python eval. */
+    * the middle of a pipeline), no Python eval.
+    *
+    * One SinglePartition shape is exempt: the cap-truncation SENTINEL of
+    * Dedup.observedTruncation — a keys=[] global sum over the bucket
+    * aggregate's per-bucket `__n` counts. Its exchange input is one
+    * partial-sum row per task (bytes, not data), and it is the mechanism
+    * that makes capped runs observable, so it is allowed — but ONLY when
+    * the exchange's immediate child is exactly that partial_sum over
+    * `__n#`. Any other single-partition exchange (a global sort/agg on
+    * the data path) still fails the audit. */
+  private def noDataPathSinglePartition(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toArray
+    lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") &&
+        !(i + 1 < lines.length && lines(i + 1).contains("partial_sum") &&
+          lines(i + 1).contains("__n#")) =>
+        s"forbidden 'Exchange SinglePartition' on the data path: ${l.trim.take(120)}"
+    }.toSeq
+  }
+
   private def common(plan: String): Seq[String] =
     hasNo(plan, "CartesianProduct") ++
-      hasNo(plan, "Exchange SinglePartition") ++
+      noDataPathSinglePartition(plan) ++
       hasNo(plan, "BatchEvalPython")
 
   // ---------------------------------------------------------------- audits
