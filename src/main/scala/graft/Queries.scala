@@ -618,6 +618,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "d10_minhash_distinct" -> ((s, dir) =>
+      // flood-proof two-lane MinHash near-dup pairs: identical texts pair
+      // by an exact 128-bit content-key equi-join (jaccard exactly 1.0,
+      // output-size-bound, uncapped); near-dups between DISTINCT texts
+      // run LSH over one representative per text, so a thousand-member
+      // boilerplate cluster occupies ONE bucket slot instead of flooding
+      // the cap. Unlike d02 the oracle needs no cap replay: the output is
+      // the TRUE jaccard-≥0.8 pair set at every swept SF.
+      Dedup.minhashPairsDistinct(
+        t(s, dir, "documents").withColumn("text2", expr(text2Spark)),
+        textCol = "text2", k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")),
+
     "d08_stratified_sample" -> ((s, dir) =>
       // deterministic per-language mixing: keep-rate by stratum, survival
       // decided by a pure (id, salt) hash — reproducible across engines,
@@ -1388,6 +1402,48 @@ object Queries {
          | CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 4294967296
          |           WHEN 'es' THEN 1073741824 WHEN 'de' THEN 536870912 ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
+
+    "d10_minhash_distinct" ->
+      // two lanes replayed semantically: lane 1 = identical trimmed texts
+      // (jaccard exactly 1.0, a plain self-equi-join); lane 2 = TRUE
+      // jaccard ≥ 0.8 between DISTINCT texts via the same prefix-filter
+      // bound as d02's oracle (recall 1 at the threshold is a theorem,
+      // Bayardo et al. WWW'07), computed once per distinct text and
+      // expanded to members. No cap replay: dup floods collapse to one
+      // representative, so the operator's bucket cap never truncates here.
+      s"""WITH p AS (SELECT doc_id, $text2Duck AS text2 FROM documents),
+         |base AS (SELECT doc_id AS id, trim(text2) AS t FROM p WHERE len(trim(text2)) > 0),
+         |same AS (
+         | SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         | FROM base a JOIN base b ON a.t = b.t AND a.id < b.id),
+         |reps AS (SELECT t, min(id) AS rid FROM base GROUP BY t),
+         |tok AS (SELECT rid,
+         |  list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> len(x) > 0) AS ts
+         | FROM reps),
+         |sh AS (SELECT rid, list_distinct(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+         |   i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS ss
+         | FROM tok WHERE len(ts) > 0),
+         |pre AS (SELECT rid,
+         |  list_slice(list_sort(ss), 1, len(ss) - CAST(ceil(0.8 * len(ss)) AS BIGINT) + 1) AS ps
+         | FROM sh),
+         |cand AS (SELECT DISTINCT a.rid AS ra, b.rid AS rb
+         | FROM (SELECT rid, unnest(ps) AS s FROM pre) a
+         | JOIN (SELECT rid, unnest(ps) AS s FROM pre) b ON a.s = b.s AND a.rid < b.rid),
+         |near AS (
+         | SELECT ra, rb,
+         |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+         |  CAST(len(list_distinct(sa.ss || sb.ss)) AS DOUBLE) AS jaccard
+         | FROM cand JOIN sh sa ON sa.rid = ra JOIN sh sb ON sb.rid = rb),
+         |exp AS (
+         | SELECT least(ba.id, bb.id) AS id_a, greatest(ba.id, bb.id) AS id_b, n.jaccard
+         | FROM (SELECT * FROM near WHERE jaccard >= 0.8) n
+         | JOIN reps ta ON ta.rid = n.ra
+         | JOIN reps tb ON tb.rid = n.rb
+         | JOIN base ba ON ba.t = ta.t
+         | JOIN base bb ON bb.t = tb.t)
+         |SELECT id_a, id_b, jaccard FROM same
+         |UNION ALL SELECT id_a, id_b, jaccard FROM exp
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d08_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

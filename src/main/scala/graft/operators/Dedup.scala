@@ -161,6 +161,94 @@ object Dedup {
     observedTruncation(verified, bucketAgg, "__n", maxBucket, "minhash_buckets")
   }
 
+  /** Flood-proof MinHash-LSH near-dup pairs: same contract as
+    * [[minhashPairs]] (same (id_a, id_b, jaccard) output, same threshold
+    * semantics), restructured as the two-lane design of [[simhashPairs]]
+    * so the bucket cap can never drop a true pair at web scale:
+    *
+    *  - identical texts (in web corpora the dominant duplicate shape:
+    *    boilerplate/mirror clusters with thousands of members) are paired
+    *    by a self-equi-join on a 128-bit content key (`md5` of the
+    *    normalized text; collision odds ~1e-19 at 10^10 docs). Their
+    *    jaccard is exactly 1.0 — a nonempty trimmed text always has a
+    *    nonempty shingle set ([[shinglesFrom]] emits a partial shingle
+    *    for short docs), and identical texts share it. Output-size-bound,
+    *    streamed by the sort-merge join, no cap.
+    *  - near-dups BETWEEN distinct texts run the usual band-bucket LSH,
+    *    but over ONE representative per distinct text, so an N-thousand
+    *    member duplicate cluster occupies one bucket slot instead of
+    *    flooding `maxBucket` (in [[minhashPairs]] a cluster past the cap
+    *    silently caps AWAY unrelated near-dup candidates sharing its
+    *    buckets). Verified jaccard on representative shingle sets, then
+    *    expanded to id pairs by two output-sized joins.
+    *
+    * The lanes are disjoint on pair identity (same content key vs
+    * different), so the union needs no final distinct. Prefer this form
+    * for corpora with heavy exact duplication; [[minhashPairs]] remains
+    * the single-pass form whose bucket slice is SQL-replayable. */
+  def minhashPairsDistinct(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.minhash_sig
+    val rowsPerBand = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
+      .filter(length(col("t")) > 0)
+    val keyed = base.select(col("id"), col("t"), md5(col("t")).as("ck"))
+    val members = keyed.select(col("ck"), col("id"))
+
+    // lane 1: identical texts → jaccard exactly 1.0, exact at any scale
+    val same = members.as("a")
+      .join(members.as("b"), col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+
+    // lane 2: LSH over one representative per distinct text. sig and
+    // shingle set are pure functions of the text, so representative
+    // results hold for every member. Distinct texts with identical
+    // shingle SETS legitimately verify at 1.0 — they stay in this lane
+    // (different ck), keeping the lanes disjoint on pair identity.
+    val reps = keyed.groupBy(col("ck"))
+      .agg(min_by(col("t"), col("id")).as("t"))
+    val withSig = reps.withColumn("sig", minhash_sig(col("t"), k, numHashes))
+    val bucketAgg = withSig
+      .select(col("ck"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(slice(sort_array(collect_list(col("ck"))), 1, maxBucket).as("cks"),
+        count(lit(1)).as("__n"))
+    val candPairs = bucketAgg
+      .drop("__n")
+      .filter(size(col("cks")) > 1)
+      .select(explode(expr(
+        "flatten(transform(cks, (a, i) -> transform(slice(cks, i + 2, size(cks)), b -> struct(a as ck_a, b as ck_b))))")).as("p"))
+      .select(col("p.ck_a").as("ck_a"), col("p.ck_b").as("ck_b"))
+      .distinct() // a ck pair can collide in several bands
+    def shingleSet(side: String) = reps
+      .select(col("ck").as(s"ck_$side"),
+        array_distinct(shinglesFrom(split(trim(lower(col("t"))), "\\s+"), k)).as(s"sh_$side"))
+    val nearCk = candPairs
+      .join(shingleSet("a"), "ck_a")
+      .join(shingleSet("b"), "ck_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("ck_a", "ck_b", "jaccard")
+    val near = nearCk
+      .join(members.select(col("ck").as("ck_a"), col("id").as("ia")), "ck_a")
+      .join(members.select(col("ck").as("ck_b"), col("id").as("ib")), "ck_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+
+    observedTruncation(same.unionByName(near), bucketAgg, "__n", maxBucket,
+      "minhash_buckets")
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -179,6 +179,17 @@ object PlanAudit {
       p => common(p) ++ has(p, "minhash_sig") ++ has(p, "collect_list") ++
         eq(p, "BroadcastNestedLoopJoin", 0) ++ atLeast(p, "partial_", 1)),
 
+    Audit("d10_minhash_distinct",
+      "two-lane flood-proof minhash: exact-dup lane is an equi-join on the 128-bit content key (md5), LSH lane computes minhash_sig over ONE representative per distinct text (map-side min_by partials); capped collect_list buckets, never all-pairs",
+      (s, sf) => Queries.queries("d10_minhash_distinct")(s, sf),
+      // minhash_sig itself collapses into the reps aggregate's result
+      // projection (invisible in the plan string); the observable
+      // signature is the band-bucket xxhash64 explode over the min_by
+      // representative rows, with map-side partial_min_by combine
+      p => common(p) ++ has(p, "xxhash64(concat_ws") ++ has(p, "md5(") ++
+        has(p, "collect_list") ++ eq(p, "BroadcastNestedLoopJoin", 0) ++
+        atLeast(p, "partial_min_by", 1)),
+
     Audit("f17_host_rank",
       "integer fixed-point PageRank: per-iteration groupBy(dst)+join over checkpointed leaf inputs; no float aggregation anywhere (order-independent by construction)",
       (s, sf) => Queries.queries("f17_host_rank")(s, sf),

@@ -88,6 +88,39 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.simhashPairs(docs, blocks = 5))
   }
 
+  test("minhash distinct-text lane: agrees with single-pass form, immune to exact-dup floods") {
+    // equivalence on the standard fixture (no cap pressure): same pairs,
+    // same exact jaccard values
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val single = asMap(Dedup.minhashPairs(docs, k = 3, threshold = 0.5))
+    val twoLane = asMap(Dedup.minhashPairsDistinct(docs, k = 3, threshold = 0.5))
+    assert(twoLane.keySet == single.keySet)
+    twoLane.foreach { case (p, j) => assert(math.abs(single(p) - j) < 1e-9) }
+
+    // a 300-member identical-text flood + one planted near-dup pair, cap 8:
+    // the single-pass form truncates (and loses flood pairs); the
+    // distinct-text form reports ALL C(300,2) flood pairs at jaccard 1.0,
+    // still finds the near-dup pair, and never trips the cap counter
+    val flood = ((0L until 300L).map(id => (id, base)) ++
+      Seq((1000L, base.replace("summer", "winter")),
+          (1001L, base.replace("summer", "winter").replace("dog", "dog and")))).toDF("doc_id", "text")
+    val exact = Dedup.minhashPairsDistinct(flood, k = 3, threshold = 0.5, maxBucket = 8)
+    val rows = asMap(exact)
+    exact.collect() // populate observed metrics
+    assert(exact.queryExecution.observedMetrics("minhash_buckets")
+      .getAs[Long]("truncated_buckets") == 0L,
+      "identical-text floods must not trip the distinct-text cap")
+    val floodPairs = rows.filter { case ((a, b), _) => a < 300L && b < 300L }
+    assert(floodPairs.size == 300 * 299 / 2, "every flood pair, uncapped")
+    assert(floodPairs.values.forall(_ == 1.0))
+    assert(rows.contains((1000L, 1001L)), "near-dup across distinct texts still found")
+    // the single-pass form drops flood pairs under the same cap
+    val capped = asMap(Dedup.minhashPairs(flood, k = 3, threshold = 0.5, maxBucket = 8))
+    assert(capped.count { case ((a, b), _) => a < 300L && b < 300L } < 300 * 299 / 2)
+  }
+
   test("ngram jaccard column matches scala oracle") {
     def grams(s: String, n: Int) = (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
     val pairs = Seq(("abcdefgh", "abcdefgx"), ("hello world", "hello there"), ("aaa", "bbb"))
