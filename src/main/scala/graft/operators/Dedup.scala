@@ -11,6 +11,81 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** All unordered member pairs (id_a < id_b) WITHIN groups, generated at
+    * cluster parallelism even when one group holds tens of thousands of
+    * members — the distributed form of
+    * `m.as("a").join(m.as("b"), a.g === b.g && a.id < b.id)`.
+    *
+    * Why the plain self-equi-join cannot scale on real web corpora: a
+    * boilerplate/mirror cluster of n identical keys produces C(n, 2)
+    * output rows under ONE join key, i.e. in ONE task — and AQE's skew
+    * join cannot rescue it, because skew splitting keys off map-output
+    * *input* sizes, and the input partition here is tiny (n rows); only
+    * the *output* is quadratic. Observed: at a 19,500-member cluster the
+    * single task runs for tens of minutes while 31 cores idle.
+    *
+    * Block decomposition (the classic triangular self-join split):
+    *  1. count members per group; groups of ≤ blockSize members get ONE
+    *     block (the common case — the plan then degenerates to the plain
+    *     collect-and-explode, same work as the equi-join), larger groups
+    *     get nb = ceil(n / blockSize) blocks by a pure hash of the id;
+    *  2. members collect into per-(group, block) sorted arrays;
+    *  3. the nb·(nb+1)/2 block-pair KEYS (tiny rows) are exploded from
+    *     the size table and hash-repartitioned, so every block pair —
+    *     and therefore every ~blockSize² slice of the quadratic output —
+    *     expands in its own task;
+    *  4. diagonal pairs (ba == bb) enumerate the triangle of one sorted
+    *     array (a < b by sort order); off-diagonal pairs cross two
+    *     disjoint arrays (each unordered pair appears exactly once;
+    *     least/greatest restores id ordering).
+    *
+    * Communication is O(n·nb) = O(n²/blockSize) member copies — always
+    * `blockSize`× smaller than the output it distributes. Determinism:
+    * block assignment is a pure function of the id, arrays are sorted.
+    * Output columns: (groupCol, id_a, id_b). */
+  def selfPairsWithinGroups(
+      members: DataFrame,
+      groupCol: String,
+      idCol: String,
+      blockSize: Int = 1024): DataFrame = {
+    require(blockSize > 1, s"blockSize must be > 1, got $blockSize")
+    val m = members.select(col(groupCol).as("__spg_g"), col(idCol).as("__spg_id"))
+    val sizes = m.groupBy(col("__spg_g"))
+      .agg(count(lit(1)).as("__spg_n"))
+      .filter(col("__spg_n") > 1)
+      .withColumn("__spg_nb",
+        ceil(col("__spg_n").cast("double") / blockSize).cast("int"))
+    val blocks = m
+      .join(sizes.select(col("__spg_g"), col("__spg_nb")), Seq("__spg_g"))
+      .withColumn("__spg_b",
+        pmod(xxhash64(col("__spg_id")), col("__spg_nb").cast("long")).cast("int"))
+      .groupBy(col("__spg_g"), col("__spg_b"))
+      .agg(sort_array(collect_list(col("__spg_id"))).as("__spg_ids"))
+    val keys = sizes
+      .select(col("__spg_g"), explode(expr(
+        """flatten(transform(sequence(0, __spg_nb - 1),
+          |  a -> transform(sequence(a, __spg_nb - 1),
+          |    b -> struct(a as ba, b as bb))))""".stripMargin)).as("bp"))
+      .select(col("__spg_g"), col("bp.ba").as("__spg_ba"), col("bp.bb").as("__spg_bb"))
+      .repartition(col("__spg_g"), col("__spg_ba"), col("__spg_bb"))
+    keys
+      .join(blocks.select(col("__spg_g"), col("__spg_b").as("__spg_ba"),
+        col("__spg_ids").as("__spg_as")), Seq("__spg_g", "__spg_ba"))
+      .join(blocks.select(col("__spg_g"), col("__spg_b").as("__spg_bb"),
+        col("__spg_ids").as("__spg_bs")), Seq("__spg_g", "__spg_bb"))
+      .select(col("__spg_g"), explode(when(col("__spg_ba") === col("__spg_bb"),
+        expr("""flatten(transform(__spg_as, (x, i) ->
+               |  transform(slice(__spg_as, i + 2, size(__spg_as)),
+               |    y -> struct(x as a, y as b))))""".stripMargin))
+        .otherwise(expr(
+          """flatten(transform(__spg_as, x ->
+            |  transform(__spg_bs, y ->
+            |    struct(least(x, y) as a, greatest(x, y) as b))))""".stripMargin)))
+        .as("__spg_p"))
+      .select(col("__spg_g").as(groupCol),
+        col("__spg_p.a").as("id_a"), col("__spg_p.b").as("id_b"))
+  }
+
   /** "No silent caps" observability that survives AQE empty-relation
     * pruning. Attaching `.observe(...)` directly to the bucket aggregate
     * is NOT enough: if every downstream stage of that branch materializes
@@ -168,12 +243,14 @@ object Dedup {
     *
     *  - identical texts (in web corpora the dominant duplicate shape:
     *    boilerplate/mirror clusters with thousands of members) are paired
-    *    by a self-equi-join on a 128-bit content key (`md5` of the
-    *    normalized text; collision odds ~1e-19 at 10^10 docs). Their
-    *    jaccard is exactly 1.0 — a nonempty trimmed text always has a
-    *    nonempty shingle set ([[shinglesFrom]] emits a partial shingle
-    *    for short docs), and identical texts share it. Output-size-bound,
-    *    streamed by the sort-merge join, no cap.
+    *    on a 128-bit content key (`md5` of the normalized text; collision
+    *    odds ~1e-19 at 10^10 docs). Their jaccard is exactly 1.0 — a
+    *    nonempty trimmed text always has a nonempty shingle set
+    *    ([[shinglesFrom]] emits a partial shingle for short docs), and
+    *    identical texts share it. Output-size-bound, no cap, and
+    *    block-decomposed ([[selfPairsWithinGroups]]) so one giant
+    *    cluster's quadratic pair set expands across the cluster instead
+    *    of inside the single task that owns its key.
     *  - near-dups BETWEEN distinct texts run the usual band-bucket LSH,
     *    but over ONE representative per distinct text, so an N-thousand
     *    member duplicate cluster occupies one bucket slot instead of
@@ -203,10 +280,12 @@ object Dedup {
     val keyed = base.select(col("id"), col("t"), md5(col("t")).as("ck"))
     val members = keyed.select(col("ck"), col("id"))
 
-    // lane 1: identical texts → jaccard exactly 1.0, exact at any scale
-    val same = members.as("a")
-      .join(members.as("b"), col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+    // lane 1: identical texts → jaccard exactly 1.0, exact at any scale.
+    // Block-decomposed (selfPairsWithinGroups), NOT a plain self-equi-join:
+    // a 19.5k-member mirror cluster is one join key, and its C(n,2) pairs
+    // would otherwise all be emitted by a single task.
+    val same = selfPairsWithinGroups(members, "ck", "id")
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
 
     // lane 2: LSH over one representative per distinct text. sig and
     // shingle set are pure functions of the text, so representative
@@ -265,10 +344,11 @@ object Dedup {
     *
     *  - identical-hash pairs (hamming 0 — in web corpora by far the
     *    heaviest case: boilerplate/mirror clusters with thousands of
-    *    members) come from a plain self-equi-join on `h`. A sort-merge
-    *    join streams a giant hash group's quadratic output without ever
-    *    materializing it as one in-memory array, and its size is the
-    *    ANSWER size — no cap belongs here.
+    *    members) come from [[selfPairsWithinGroups]], the block-decomposed
+    *    triangular self-join: the quadratic output is the ANSWER size so
+    *    no cap belongs here, but it must be EMITTED at cluster
+    *    parallelism — a plain equi-join funnels a cluster's C(n,2) pairs
+    *    through the one task owning its hash.
     *  - distinct-hash near-dups (hamming 1..maxHamming) go through the
     *    quarter blocking, but over DISTINCT hash values only, so an
     *    N-thousand-member duplicate cluster occupies ONE slot per bucket
@@ -299,11 +379,12 @@ object Dedup {
       .select("id", "h")
       .cache()
 
-    // lane 1: identical hashes → hamming 0, exact, output-size-bound
-    val same = withHash.as("a")
-      .join(withHash.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(0).cast("int").as("hamming"))
+    // lane 1: identical hashes → hamming 0, exact, output-size-bound.
+    // Block-decomposed (selfPairsWithinGroups) so a mirror cluster's
+    // quadratic pair set expands at cluster parallelism, not in the one
+    // task that owns its join key.
+    val same = selfPairsWithinGroups(withHash, "h", "id")
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
 
     // lane 2: distinct hashes through block-combination keys (Manku/Jain/
     // Das Sarma, WWW'07 construction): split the 64 bits into `blocks`

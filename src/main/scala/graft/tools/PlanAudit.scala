@@ -180,7 +180,7 @@ object PlanAudit {
         eq(p, "BroadcastNestedLoopJoin", 0) ++ atLeast(p, "partial_", 1)),
 
     Audit("d10_minhash_distinct",
-      "two-lane flood-proof minhash: exact-dup lane is an equi-join on the 128-bit content key (md5), LSH lane computes minhash_sig over ONE representative per distinct text (map-side min_by partials); capped collect_list buckets, never all-pairs",
+      "two-lane flood-proof minhash: exact-dup lane block-decomposes the 128-bit content-key (md5) self-join so a mirror cluster's C(n,2) pairs expand at cluster parallelism, LSH lane computes minhash_sig over ONE representative per distinct text (map-side min_by partials); capped collect_list buckets, never all-pairs",
       (s, sf) => Queries.queries("d10_minhash_distinct")(s, sf),
       // minhash_sig itself collapses into the reps aggregate's result
       // projection (invisible in the plan string); the observable

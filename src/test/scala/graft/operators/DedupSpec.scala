@@ -121,6 +121,32 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count { case ((a, b), _) => a < 300L && b < 300L } < 300 * 299 / 2)
   }
 
+  test("selfPairsWithinGroups: block-decomposed pairs == naive self-join, at any block count") {
+    // groups sized to force 1, 2, and 5+ blocks at blockSize=64, plus a
+    // singleton (no pairs) — exactness must hold across the diagonal
+    // (triangular) and off-diagonal (cross) expansions and their union
+    val members = (
+      (0L until 150L).map(i => ("big", i * 7 + 1)) ++      // 3 blocks
+      (0L until 300L).map(i => ("huge", 10000L + i)) ++    // 5 blocks
+      (0L until 70L).map(i => ("two", 20000L + i * 3)) ++  // 2 blocks
+      (0L until 40L).map(i => ("one", 30000L + i)) ++      // 1 block
+      Seq(("solo", 99999L))
+    ).toDF("g", "id")
+    val got = Dedup.selfPairsWithinGroups(members, "g", "id", blockSize = 64)
+      .select("g", "id_a", "id_b").as[(String, Long, Long)].collect().toSet
+    val naive = members.as("a")
+      .join(members.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.g"), col("a.id"), col("b.id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(naive.nonEmpty && got == naive)
+    assert(got.forall { case (_, a, b) => a < b })
+    // default blockSize covers the single-block degenerate path
+    val one = Dedup.selfPairsWithinGroups(members, "g", "id")
+      .select("g", "id_a", "id_b").as[(String, Long, Long)].collect().toSet
+    assert(one == naive)
+  }
+
   test("ngram jaccard column matches scala oracle") {
     def grams(s: String, n: Int) = (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
     val pairs = Seq(("abcdefgh", "abcdefgx"), ("hello world", "hello there"), ("aaa", "bbb"))
