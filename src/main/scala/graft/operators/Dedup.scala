@@ -262,7 +262,16 @@ object Dedup {
     * The lanes are disjoint on pair identity (same content key vs
     * different), so the union needs no final distinct. Prefer this form
     * for corpora with heavy exact duplication; [[minhashPairs]] remains
-    * the single-pass form whose bucket slice is SQL-replayable. */
+    * the single-pass form whose bucket slice is SQL-replayable.
+    *
+    * Known envelope: the near lane's id expansion (two joins from
+    * verified content-key pairs back to members) is output-size-bound
+    * but keyed per content key — if two NEAR-identical (distinct-key)
+    * clusters of size A and B verify, their A·B id pairs expand under
+    * one key pair. The identical-content case (the dominant web shape)
+    * is fully handled by the block-decomposed lane 1; block-decomposing
+    * the cross expansion the same way is the next step if profiles show
+    * giant near-identical cluster pairs. */
   def minhashPairsDistinct(
       docs: DataFrame,
       textCol: String = "text",
