@@ -31,13 +31,19 @@ object Dedup {
     *     get nb = ceil(n / blockSize) blocks by a pure hash of the id;
     *  2. members collect into per-(group, block) sorted arrays;
     *  3. the nb·(nb+1)/2 block-pair KEYS (tiny rows) are exploded from
-    *     the size table and hash-repartitioned, so every block pair —
-    *     and therefore every ~blockSize² slice of the quadratic output —
-    *     expands in its own task;
-    *  4. diagonal pairs (ba == bb) enumerate the triangle of one sorted
-    *     array (a < b by sort order); off-diagonal pairs cross two
-    *     disjoint arrays (each unordered pair appears exactly once;
-    *     least/greatest restores id ordering).
+    *     the size table, joined to their two member arrays, and
+    *     repartitioned with an EXPLICIT partition count just before the
+    *     expansion — explicit-count repartitions are exempt from AQE
+    *     partition coalescing, which would otherwise see a few MB of
+    *     array rows, collapse them to one or two partitions, and
+    *     serialize the (AQE-invisible) quadratic explode right back onto
+    *     a couple of cores;
+    *  4. pairs expand by a double explode (member x of block A, then the
+    *     members of block B) — never materializing a blockSize²-struct
+    *     array per row: diagonal pairs (ba == bb) take y > x over the
+    *     same array (exact triangle), off-diagonal pairs take all of B
+    *     (blocks are disjoint, each unordered pair appears exactly
+    *     once); least/greatest restores id ordering.
     *
     * Communication is O(n·nb) = O(n²/blockSize) member copies — always
     * `blockSize`× smaller than the output it distributes. Determinism:
@@ -67,23 +73,27 @@ object Dedup {
           |  a -> transform(sequence(a, __spg_nb - 1),
           |    b -> struct(a as ba, b as bb))))""".stripMargin)).as("bp"))
       .select(col("__spg_g"), col("bp.ba").as("__spg_ba"), col("bp.bb").as("__spg_bb"))
-      .repartition(col("__spg_g"), col("__spg_ba"), col("__spg_bb"))
+    val shufflePartitions =
+      members.sparkSession.sessionState.conf.numShufflePartitions
     keys
       .join(blocks.select(col("__spg_g"), col("__spg_b").as("__spg_ba"),
         col("__spg_ids").as("__spg_as")), Seq("__spg_g", "__spg_ba"))
       .join(blocks.select(col("__spg_g"), col("__spg_b").as("__spg_bb"),
         col("__spg_ids").as("__spg_bs")), Seq("__spg_g", "__spg_bb"))
-      .select(col("__spg_g"), explode(when(col("__spg_ba") === col("__spg_bb"),
-        expr("""flatten(transform(__spg_as, (x, i) ->
-               |  transform(slice(__spg_as, i + 2, size(__spg_as)),
-               |    y -> struct(x as a, y as b))))""".stripMargin))
-        .otherwise(expr(
-          """flatten(transform(__spg_as, x ->
-            |  transform(__spg_bs, y ->
-            |    struct(least(x, y) as a, greatest(x, y) as b))))""".stripMargin)))
-        .as("__spg_p"))
+      // explicit count => REPARTITION_BY_NUM: AQE may not coalesce this
+      // exchange (by bytes the input is a few MB of arrays; the quadratic
+      // work lives in the explodes below, which AQE cannot see)
+      .repartition(shufflePartitions,
+        col("__spg_g"), col("__spg_ba"), col("__spg_bb"))
+      .select(col("__spg_g"), col("__spg_ba"), col("__spg_bb"),
+        explode(col("__spg_as")).as("__spg_x"), col("__spg_bs"))
+      .select(col("__spg_g"), col("__spg_x"),
+        explode(when(col("__spg_ba") === col("__spg_bb"),
+          filter(col("__spg_bs"), y => y > col("__spg_x")))
+          .otherwise(col("__spg_bs"))).as("__spg_y"))
       .select(col("__spg_g").as(groupCol),
-        col("__spg_p.a").as("id_a"), col("__spg_p.b").as("id_b"))
+        least(col("__spg_x"), col("__spg_y")).as("id_a"),
+        greatest(col("__spg_x"), col("__spg_y")).as("id_b"))
   }
 
   /** "No silent caps" observability that survives AQE empty-relation
