@@ -229,7 +229,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "150000").toLong
+    // spot-bench: comma-separated query names; skips headline + codec
+    // micros (their numbers would not be comparable to a full run anyway)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     val spark = GraftSession.local(cpus)
+
+    if (only.nonEmpty) {
+      val qs = SparkEntry.queries.filter { case (k, _) => only(k) }
+      qs.foreach { case (_, fn) =>
+        try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
+      }
+      val results = timeQueries(spark, sfDir, qs)
+      val qj = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      println(s"""{"metric":"graft_spot","queries":$qj,"errors":${errorsJson(results)},"sf":"$sfDir","cores":$cpus}""")
+      spark.stop()
+      return
+    }
 
     // single-thread codec micro first: it must not time GC pauses left
     // behind by the multi-GB headline phase
