@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * cores (not the 200 default), UTC timezone for oracle parity.
   */
 object GraftSession {
-  def builder(master: String, cores: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String, cores: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -17,10 +17,20 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // Profiling hook: SPARK_GRAFT_EVENTLOG=<dir> writes the Spark event
+    // log there (stage timings + callsites — the forked-run substitute for
+    // a live UI in this sandbox). Off by default: it adds listener-bus
+    // traffic to every job.
+    sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b) { dir =>
+      new java.io.File(dir).mkdirs()
+      b.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }
+  }
 
   def local(cores: Int): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     functions.GraftFunctions.registerAll(spark)
     spark
   }

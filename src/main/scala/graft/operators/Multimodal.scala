@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every createImageInputStream /
+  // read with a temp FILE (a RandomAccessFile write+read round-trip per
+  // image — observed as the hot frame in a 500k-image bench run). Our
+  // payloads are already in-heap byte arrays; cache in memory instead.
+  // Object-init runs once per executor JVM, before any decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(
       byte_len: Long,
       format: String,
