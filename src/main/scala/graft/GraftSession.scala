@@ -17,6 +17,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-split floor: maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, totalBytes/minPartitionNum)). The 4 MB
+      // default open cost dates from HDFS-era file-open latency; on
+      // modern storage it only starves compute-bound scans of small-byte
+      // inputs (a 56 MB corpus of heavy-kernel docs planned as 14 tasks
+      // on 32 cores). 64 KB lets small inputs split to one partition per
+      // core while LARGE inputs still cap at maxPartitionBytes — the
+      // 100 TB plan shape is unchanged.
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
     // Profiling hook: SPARK_GRAFT_EVENTLOG=<dir> writes the Spark event
     // log there (stage timings + callsites — the forked-run substitute for
     // a live UI in this sandbox). Off by default: it adds listener-bus

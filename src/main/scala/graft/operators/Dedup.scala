@@ -96,6 +96,89 @@ object Dedup {
         greatest(col("__spg_x"), col("__spg_y")).as("id_b"))
   }
 
+  /** All member id pairs ACROSS verified group-key pairs (the cross
+    * product A×B per key pair), generated at cluster parallelism — the
+    * distributed form of `keyPairs ⋈ members ⋈ members`, whose second
+    * equi-join would otherwise funnel every |A|·|B| expansion through the
+    * single task owning that key pair (two verified near-identical mirror
+    * clusters of 20k docs each = 400M pairs out of one core).
+    *
+    * Same block decomposition as [[selfPairsWithinGroups]]: members block
+    * by a pure id hash into ceil(n/blockSize) blocks per group, the
+    * nbA·nbB block-pair KEYS explode from the carried size columns, each
+    * key joins its two sorted member arrays, and an explicit-count
+    * repartition (AQE-coalesce-exempt — the quadratic work lives in the
+    * explodes AQE cannot see) spreads the expansion before the double
+    * explode. Groups are distinct keys, so every (a, b) appears exactly
+    * once; no diagonal case exists. Carried columns of `keyPairs` (e.g. a
+    * verified jaccard) ride through unchanged.
+    *
+    * Communication is O(Σ n·nb) member copies — `blockSize`× smaller than
+    * the output it distributes. Output: keyPairs' columns + (`id_a`,
+    * `id_b`) with id_a < id_b (the two groups' members come from disjoint
+    * key spaces only if the caller guarantees it; ordering is restored by
+    * least/greatest as in the self form). */
+  def crossPairsBetweenGroups(
+      keyPairs: DataFrame,
+      members: DataFrame,
+      gACol: String,
+      gBCol: String,
+      groupCol: String,
+      idCol: String,
+      blockSize: Int = 1024): DataFrame = {
+    require(blockSize > 1, s"blockSize must be > 1, got $blockSize")
+    val carried = keyPairs.columns.toSeq
+    // Prune members to keys that appear in SOME key pair before any
+    // aggregation: the candidate key set is output-bounded (≤ 2·|keyPairs|)
+    // while members is corpus-sized — without this semi join the size and
+    // block aggregates below run a corpus-wide collect_list over millions
+    // of (mostly singleton, mostly irrelevant) groups. Profiled at sf10
+    // simhash: 50M hash groups, a handful in verified pairs — the unpruned
+    // form cost more than the funnel it replaced. Pruning cannot change
+    // the result: a member whose key joins no pair emits no pair.
+    val candKeys = keyPairs
+      .select(explode(array(col(gACol), col(gBCol))).as("__cpg_g"))
+      .distinct()
+    val m = members
+      .select(col(groupCol).as("__cpg_g"), col(idCol).as("__cpg_id"))
+      .join(candKeys, Seq("__cpg_g"), "left_semi")
+    val sizes = m.groupBy(col("__cpg_g"))
+      .agg(count(lit(1)).as("__cpg_n"))
+      .withColumn("__cpg_nb",
+        ceil(col("__cpg_n").cast("double") / blockSize).cast("int"))
+      .select(col("__cpg_g"), col("__cpg_nb"))
+    val blocks = m
+      .join(sizes, Seq("__cpg_g"))
+      .withColumn("__cpg_b",
+        pmod(xxhash64(col("__cpg_id")), col("__cpg_nb").cast("long")).cast("int"))
+      .groupBy(col("__cpg_g"), col("__cpg_b"))
+      .agg(sort_array(collect_list(col("__cpg_id"))).as("__cpg_ids"))
+    val keys = keyPairs
+      .join(sizes.select(col("__cpg_g").as(gACol), col("__cpg_nb").as("__cpg_nba")), Seq(gACol))
+      .join(sizes.select(col("__cpg_g").as(gBCol), col("__cpg_nb").as("__cpg_nbb")), Seq(gBCol))
+      .withColumn("__cpg_bp", explode(expr(
+        """flatten(transform(sequence(0, __cpg_nba - 1),
+          |  a -> transform(sequence(0, __cpg_nbb - 1),
+          |    b -> struct(a as ba, b as bb))))""".stripMargin)))
+      .withColumn("__cpg_ba", col("__cpg_bp.ba"))
+      .withColumn("__cpg_bb", col("__cpg_bp.bb"))
+      .drop("__cpg_bp", "__cpg_nba", "__cpg_nbb")
+    val shufflePartitions =
+      members.sparkSession.sessionState.conf.numShufflePartitions
+    keys
+      .join(blocks.select(col("__cpg_g").as(gACol), col("__cpg_b").as("__cpg_ba"),
+        col("__cpg_ids").as("__cpg_as")), Seq(gACol, "__cpg_ba"))
+      .join(blocks.select(col("__cpg_g").as(gBCol), col("__cpg_b").as("__cpg_bb"),
+        col("__cpg_ids").as("__cpg_bs")), Seq(gBCol, "__cpg_bb"))
+      .repartition(shufflePartitions,
+        col(gACol), col(gBCol), col("__cpg_ba"), col("__cpg_bb"))
+      .withColumn("__cpg_x", explode(col("__cpg_as")))
+      .withColumn("__cpg_y", explode(col("__cpg_bs")))
+      .select(carried.map(col) :+
+        least(col("__cpg_x"), col("__cpg_y")).as("id_a") :+
+        greatest(col("__cpg_x"), col("__cpg_y")).as("id_b"): _*)
+  }
+
   /** "No silent caps" observability that survives AQE empty-relation
     * pruning. Attaching `.observe(...)` directly to the bucket aggregate
     * is NOT enough: if every downstream stage of that branch materializes
@@ -120,8 +203,28 @@ object Dedup {
       nCol: String,
       maxBucket: Int,
       metricName: String): DataFrame = {
+    // The sentinel must REUSE the bucket groupBy's exchange, not replan
+    // it: left alone, column pruning specializes this branch's partial
+    // aggregate to count-only (no collect_list buffer), giving it a
+    // DIFFERENT canonical exchange than the out lane's — AQE then re-runs
+    // the whole upstream pipeline (profiled at sf10: a second corpus-wide
+    // signature scan, ~40% of d02). Referencing every bucketAgg column
+    // with a zero-cost count(col)*0 pins this branch to the same partial
+    // aggregate, so the second traversal is one tiny reduce over a
+    // ReusedExchange. Callers keep their out-lane filter on nCol (not
+    // size(arr)) for the same alignment reason.
+    // the pin must survive the optimizer: count(non-nullable col) would
+    // simplify to count(*) and prune the column right back out, so pin
+    // the (always-array) payload columns via max(size(col)) — size of a
+    // collect_list result is never constant-foldable
+    val pins = bucketAgg.schema.fields.toSeq
+      .filter(f => f.name != nCol &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .map(f => coalesce(max(size(col(f.name))), lit(0)).cast("long") * lit(0L))
+    val truncSum =
+      coalesce(sum(when(col(nCol) > maxBucket, 1L).otherwise(0L)), lit(0L))
     val sentinel = bucketAgg
-      .agg(coalesce(sum(when(col(nCol) > maxBucket, 1L).otherwise(0L)), lit(0L)).as("__trunc"))
+      .agg(pins.foldLeft(truncSum)(_ + _).as("__trunc"))
       .select(out.schema.fields.toSeq.map(f =>
         lit(null).cast(f.dataType).as(f.name)) :+ col("__trunc"): _*)
     out.withColumn("__trunc", lit(null).cast("long"))
@@ -212,8 +315,8 @@ object Dedup {
       .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"),
         count(lit(1)).as("__n"))
     val buckets = bucketAgg
+      .filter(col("__n") > 1) // on __n, not size(ids): keeps the partial agg identical to the sentinel branch's
       .drop("__n")
-      .filter(size(col("ids")) > 1)
 
     // within-bucket ordered pairs (a < b), dedup across bands
     val pairs = buckets
@@ -222,17 +325,26 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
-    // exact jaccard verification: each doc's DISTINCT shingle set is
-    // computed ONCE (in the projection feeding the join) and shipped to
-    // its candidate pairs; the per-pair cost is a hash-set
-    // intersect/union over the two arrays — never a re-shingling of the
-    // text per pair (a doc in a 64-clique would shingle 63× per side),
-    // and never the raw text through the join
-    def shingleSet(side: String) = base
-      .select(col("id").as(s"id_$side"),
-        split(trim(lower(col("t"))), "\\s+").as("__ws"))
-      .select(col(s"id_$side"),
-        array_distinct(shinglesFrom(col("__ws"), k)).as(s"sh_$side"))
+    // exact jaccard verification, computed ONLY for docs that appear in a
+    // candidate pair: the candidate id set is cap-bounded (≤ 2·|pairs|),
+    // so it semi-join-prunes the corpus re-scan down to a cheap (id, text)
+    // projection BEFORE the shingling projection runs — without the semi
+    // join the shingle+array_distinct kernel runs corpus-wide on BOTH join
+    // sides and discards almost all of it at the probe (profiled at sf10:
+    // 2 of the 4 dominant stages). Each surviving doc's DISTINCT shingle
+    // set is still computed once per side and shipped to its pairs — never
+    // a re-shingling per pair, never the raw text through the join. The
+    // `pairs` subtree feeds three consumers but ends in a distinct()
+    // exchange, which AQE reuses instead of re-running the LSH pipeline.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val candShingles = base
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(shinglesFrom(split(trim(lower(col("t"))), "\\s+"), k)).as("sh"))
+    def shingleSet(side: String) = candShingles
+      .select(col("id").as(s"id_$side"), col("sh").as(s"sh_$side"))
     val verified = pairs
       .join(shingleSet("a"), "id_a")
       .join(shingleSet("b"), "id_b")
@@ -274,14 +386,11 @@ object Dedup {
     * for corpora with heavy exact duplication; [[minhashPairs]] remains
     * the single-pass form whose bucket slice is SQL-replayable.
     *
-    * Known envelope: the near lane's id expansion (two joins from
-    * verified content-key pairs back to members) is output-size-bound
-    * but keyed per content key — if two NEAR-identical (distinct-key)
-    * clusters of size A and B verify, their A·B id pairs expand under
-    * one key pair. The identical-content case (the dominant web shape)
-    * is fully handled by the block-decomposed lane 1; block-decomposing
-    * the cross expansion the same way is the next step if profiles show
-    * giant near-identical cluster pairs. */
+    * Both quadratic expansions are block-decomposed: identical-text
+    * cliques via [[selfPairsWithinGroups]], and the near lane's A·B
+    * cross expansion (two near-identical clusters verifying as one ck
+    * pair) via [[crossPairsBetweenGroups]] — neither ever funnels a
+    * giant cluster's pairs through the single task owning its key. */
   def minhashPairsDistinct(
       docs: DataFrame,
       textCol: String = "text",
@@ -320,15 +429,25 @@ object Dedup {
       .agg(slice(sort_array(collect_list(col("ck"))), 1, maxBucket).as("cks"),
         count(lit(1)).as("__n"))
     val candPairs = bucketAgg
+      .filter(col("__n") > 1)
       .drop("__n")
-      .filter(size(col("cks")) > 1)
       .select(explode(expr(
         "flatten(transform(cks, (a, i) -> transform(slice(cks, i + 2, size(cks)), b -> struct(a as ck_a, b as ck_b))))")).as("p"))
       .select(col("p.ck_a").as("ck_a"), col("p.ck_b").as("ck_b"))
       .distinct() // a ck pair can collide in several bands
-    def shingleSet(side: String) = reps
-      .select(col("ck").as(s"ck_$side"),
-        array_distinct(shinglesFrom(split(trim(lower(col("t"))), "\\s+"), k)).as(s"sh_$side"))
+    // shingle only the representatives that appear in a candidate ck pair
+    // (cap-bounded): same semi-join pruning as [[minhashPairs]] — at web
+    // scale distinct texts ≈ the corpus, so an unpruned side would shingle
+    // corpus-wide twice
+    val candCks = candPairs
+      .select(explode(array(col("ck_a"), col("ck_b"))).as("ck"))
+      .distinct()
+    val candShingles = reps
+      .join(candCks, Seq("ck"), "left_semi")
+      .select(col("ck"),
+        array_distinct(shinglesFrom(split(trim(lower(col("t"))), "\\s+"), k)).as("sh"))
+    def shingleSet(side: String) = candShingles
+      .select(col("ck").as(s"ck_$side"), col("sh").as(s"sh_$side"))
     val nearCk = candPairs
       .join(shingleSet("a"), "ck_a")
       .join(shingleSet("b"), "ck_b")
@@ -337,11 +456,12 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("ck_a", "ck_b", "jaccard")
-    val near = nearCk
-      .join(members.select(col("ck").as("ck_a"), col("id").as("ia")), "ck_a")
-      .join(members.select(col("ck").as("ck_b"), col("id").as("ib")), "ck_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    // id expansion is output-sized but keyed per ck pair: two verified
+    // near-identical clusters of size A and B put A·B pairs under ONE key,
+    // so expand block-decomposed (crossPairsBetweenGroups), never by two
+    // plain equi-joins that funnel the expansion through that key's task
+    val near = crossPairsBetweenGroups(nearCk, members, "ck_a", "ck_b", "ck", "id")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
     observedTruncation(same.unionByName(near), bucketAgg, "__n", maxBucket,
       "minhash_buckets")
@@ -391,12 +511,28 @@ object Dedup {
     require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
     require(blocks > maxHamming,
       s"need blocks > maxHamming for the pigeonhole guarantee (got $blocks <= $maxHamming)")
+    // ONE simhash pass, shared by every lane through a reused exchange:
+    // .cache() here is a trap — the lanes materialize as concurrent AQE
+    // stages, each finds the cache unpopulated, and each recomputes the
+    // corpus-wide simhash kernel (profiled at sf10: SEVEN identical 17.5 s
+    // scan stages racing to fill the cache). A bare repartition exchange
+    // is ALSO a trap: the lanes prune different column sets out of it
+    // (h-only bucket keys vs (id, h) members), giving each a DIFFERENT
+    // canonical exchange — profiled at sf10 as three concurrent identical
+    // corpus scans. An eager localCheckpoint after the repartition is the
+    // only form that provably runs the kernel once: the (id, h) projection
+    // (16 bytes/doc — 160 GB cluster-wide even at 10^10 docs) materializes
+    // synchronously to executor blocks, lineage is truncated so no
+    // consumer can replan past it, and LogicalRDD keeps the hash(h)
+    // partitioning so the h-keyed groupBys/joins downstream still skip
+    // their exchanges.
     val withHash = docs
       .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
       .filter(length(col("t")) > 0)
       .withColumn("h", graft.functions.GraftFunctions.simhash64(col("t"), k))
       .select("id", "h")
-      .cache()
+      .repartition(col("h"))
+      .localCheckpoint()
 
     // lane 1: identical hashes → hamming 0, exact, output-size-bound.
     // Block-decomposed (selfPairsWithinGroups) so a mirror cluster's
@@ -435,8 +571,8 @@ object Dedup {
       .agg(slice(sort_array(collect_list(col("h"))), 1, maxBucket).as("hs"),
         count(lit(1)).as("__n"))
     val blocked = bucketAgg
+      .filter(col("__n") > 1)
       .drop("__n")
-      .filter(size(col("hs")) > 1)
     val hashPairs = blocked
       .select(explode(expr(
         "flatten(transform(hs, (a, i) -> transform(slice(hs, i + 2, size(hs)), b -> struct(a as h_a, b as h_b))))")).as("p"))
@@ -444,11 +580,12 @@ object Dedup {
         hamming64(col("p.h_a"), col("p.h_b")).as("hamming"))
       .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
       .distinct() // a hash pair can agree on several block-combination keys
-    val near = hashPairs
-      .join(withHash.select(col("id").as("ia"), col("h").as("h_a")), "h_a")
-      .join(withHash.select(col("id").as("ib"), col("h").as("h_b")), "h_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // id expansion at cluster parallelism: two near-identical hash
+    // clusters of size A and B put A·B id pairs under one (h_a, h_b) key —
+    // block-decomposed like the minhash near lane, never two plain
+    // equi-joins funneling the expansion through that key's task
+    val near = crossPairsBetweenGroups(hashPairs, withHash, "h_a", "h_b", "h", "id")
+      .select(col("id_a"), col("id_b"), col("hamming"))
 
     observedTruncation(same.unionByName(near), bucketAgg, "__n", maxBucket,
       "simhash_buckets")
@@ -738,8 +875,8 @@ object Dedup {
       .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("rows"),
         count(lit(1)).as("__n"))
     val verified = bucketAgg
+      .filter(col("__n") > 1)
       .drop("__n")
-      .filter(size(col("rows")) > 1)
       .select(explode(expr(
         "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.v as v_a, b.v as v_b))))")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),

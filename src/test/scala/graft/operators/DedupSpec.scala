@@ -147,6 +147,31 @@ class DedupSpec extends AnyFunSuite {
     assert(one == naive)
   }
 
+  test("crossPairsBetweenGroups: block-decomposed cross expansion == naive double join") {
+    // group sizes forcing 1, 2, and 3+ blocks at blockSize=64; key pairs
+    // carry a scalar that must ride through the expansion unchanged
+    val members = (
+      (0L until 150L).map(i => ("ga", i * 7 + 1)) ++
+      (0L until 90L).map(i => ("gb", 10000L + i)) ++
+      (0L until 40L).map(i => ("gc", 20000L + i * 3)) ++
+      Seq(("gd", 99999L))
+    ).toDF("g", "id")
+    val keyPairs = Seq(("ga", "gb", 0.91), ("gc", "gd", 0.75)).toDF("ck_a", "ck_b", "jaccard")
+    val got = Dedup.crossPairsBetweenGroups(keyPairs, members, "ck_a", "ck_b", "g", "id", blockSize = 64)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val naive = keyPairs
+      .join(members.select(col("g").as("ck_a"), col("id").as("ia")), "ck_a")
+      .join(members.select(col("g").as("ck_b"), col("id").as("ib")), "ck_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.size == 150 * 90 + 40 && got == naive)
+    // default (single-block) degenerate path
+    val one = Dedup.crossPairsBetweenGroups(keyPairs, members, "ck_a", "ck_b", "g", "id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(one == naive)
+  }
+
   test("ngram jaccard column matches scala oracle") {
     def grams(s: String, n: Int) = (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
     val pairs = Seq(("abcdefgh", "abcdefgx"), ("hello world", "hello there"), ("aaa", "bbb"))
