@@ -49,6 +49,58 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Exact within-document word n-gram repetition counts over a
+    * pre-tokenized word array: (max single-gram count, occurrences of
+    * grams appearing more than once, total gram occurrences) as three
+    * longs. The Gopher repetition ratios divide these exact integers —
+    * repetition is within-row work, so it runs as one kernel call per
+    * document with a local count map, never as a corpus-wide
+    * explode+shuffle of gram-occurrence strings (at 10^10 docs that
+    * explode is ~10^13 shuffled rows for a per-row answer). */
+  def gramCounts(ws: ArrayData, n: Int): ArrayData = {
+    val nw = ws.numElements()
+    val total = nw - n + 1
+    if (total <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    // intern words to dense int ids first: two equal grams are exactly two
+    // equal id sequences (words are compared once, by content, at intern
+    // time), so gram keys become 2-chars-per-word strings instead of the
+    // gram text — the count map hashes ~4n bytes per gram, not the words
+    val interned = new java.util.HashMap[UTF8String, Integer](nw * 2)
+    val ids = new Array[Int](nw)
+    var w = 0
+    while (w < nw) {
+      val u = ws.getUTF8String(w)
+      val key = if (u == null) UTF8String.EMPTY_UTF8 else u
+      var id = interned.get(key)
+      if (id == null) { id = Integer.valueOf(interned.size()); interned.put(key, id) }
+      ids(w) = id.intValue()
+      w += 1
+    }
+    val counts = new java.util.HashMap[String, Integer](total * 2)
+    val chars = new Array[Char](2 * n)
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) {
+        val id = ids(i + j)
+        chars(2 * j) = (id >>> 16).toChar
+        chars(2 * j + 1) = (id & 0xffff).toChar
+        j += 1
+      }
+      counts.merge(new String(chars), 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var mx = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > mx) mx = c.toLong
+      if (c > 1) dup += c
+    }
+    new GenericArrayData(Array(mx, dup, total.toLong))
+  }
+
   /** Nearest-centroid assignment against a broadcast codebook: returns the
     * cell id with the highest cosine (ties → lowest cell id, because cells
     * are scanned in ascending-id order and only a strictly-greater score
@@ -294,6 +346,18 @@ case class HyperplaneSigs(child: Expression, nTables: Int, bandBits: Int, seed: 
   override def prettyName: String = "hyperplane_sigs"
 }
 
+/** Per-document gram repetition counts (max, dup-occurrences, total) over
+  * a tokenized word array — the per-row kernel form of the Gopher
+  * repetition rules. See [[Kernels.gramCounts]]. */
+case class GramCounts(child: Expression, n: Int) extends KernelUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernelCall = s"graft.functions.Kernels.gramCounts(%s, $n)"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.gramCounts(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def withNewChildInternal(c: Expression): GramCounts = copy(child = c)
+  override def prettyName: String = "gram_counts"
+}
+
 /** Int8 quantization of a FLOAT vector as one kernel call per row — the
   * HOF formulation (array_max + transform lambdas) evaluates interpreted
   * per element, which matters when quantizing 10^10 embeddings. */
@@ -413,6 +477,7 @@ object GraftFunctions {
   def bpe_count(c: Column): Column = col(BpeCount(expr(c)))
   def bpe_ids(c: Column): Column = col(BpeIds(expr(c)))
   def lm_slog_sum(c: Column): Column = col(LmSlogSum(expr(c)))
+  def gram_counts(ws: Column, n: Int): Column = col(GramCounts(expr(ws), n))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =

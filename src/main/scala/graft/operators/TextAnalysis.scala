@@ -147,49 +147,35 @@ object TextAnalysis {
     *     more than once (template/churned text).
     * Docs with fewer than n words score 0.0.
     *
-    * Plan shape at scale: ONE corpus scan — both gram lengths explode
-    * together, tagged by n — then partial-aggregated groupBy(id, n, gram)
-    * → groupBy(id, n) → a conditional-aggregate pivot on (id). Map-side
-    * combine collapses within-doc repeats before any wire bytes, and each
-    * later shuffle carries one row per distinct key, far smaller than the
-    * input. (The earlier two-pass form scanned and shuffled the corpus
-    * once per gram length.)
+    * Plan shape at scale: repetition is WITHIN-document work, so the whole
+    * operator is one narrow pass — tokenize, then one gram-count kernel
+    * call per (doc, n) with a local count map
+    * ([[graft.functions.Kernels.gramCounts]]), then exact integer-ratio
+    * divisions. Zero exchanges. (The earlier declarative form exploded
+    * every gram OCCURRENCE as a string and shuffled it through two
+    * aggregates — ~10^13 shuffled rows at 10^10 docs, profiled at sf10 as
+    * the single most expensive text query — paying distributed-aggregation
+    * cost for an answer that never needed data from another row.)
     */
   def repetitionSignals(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // token array materialized BELOW the gram transform: inline, the
-    // per-gram lambda would re-tokenize the document once per gram
-    // (interpreted HOF semantics — see Dedup.wordNgramsFrom)
-    val words = col("__ws")
-    def gramsOf(n: Int) = when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val exploded = docs
+    // token array materialized below the kernel calls so the document is
+    // tokenized once, not once per gram length; null/empty text degrades
+    // through the null-safe kernel to the oracle's 0.0
+    def frac(counts: Column, which: Int) = when(counts.getItem(2) > 0,
+      counts.getItem(which).cast("double") / counts.getItem(2).cast("double"))
+      .otherwise(lit(0.0))
+    docs
       .select(col(idCol),
         filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0).as("__ws"))
-      .select(col(idCol), explode(array(
-        struct(lit(2).as("n"), gramsOf(2).as("gs")),
-        struct(lit(5).as("n"), gramsOf(5).as("gs")))).as("t"))
-      .select(col(idCol), col("t.n").as("n"), explode(col("t.gs")).as("g"))
-    val perN = exploded
-      .groupBy(col(idCol), col("n"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col(idCol), col("n"))
-      .agg(
-        (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("top_frac"),
-        (sum(when(col("cnt") > 1, col("cnt")).otherwise(0)).cast("double") /
-          sum(col("cnt")).cast("double")).as("dup_frac"))
-    val pivoted = perN.groupBy(col(idCol)).agg(
-      max(when(col("n") === 2, col("top_frac"))).as("top2_frac"),
-      max(when(col("n") === 5, col("dup_frac"))).as("dup5_frac"))
-    docs.select(col(idCol))
-      .join(pivoted, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+        graft.functions.GraftFunctions.gram_counts(col("__ws"), 2).as("__g2"),
+        graft.functions.GraftFunctions.gram_counts(col("__ws"), 5).as("__g5"))
+      .select(col(idCol),
+        coalesce(frac(col("__g2"), 0), lit(0.0)).as("top2_frac"),
+        coalesce(frac(col("__g5"), 1), lit(0.0)).as("dup5_frac"))
   }
 
   // --- Sequence packing (pretraining batch assembly) -----------------------

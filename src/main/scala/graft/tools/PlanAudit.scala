@@ -227,10 +227,10 @@ object PlanAudit {
         eq(p, "SortMergeJoin", 0) ++ atMost(p, "Exchange hashpartitioning", 2)),
 
     Audit("t07_repetition",
-      "explode -> partial-aggregated groupBy(id, gram) -> groupBy(id); map-side combine on both, exchanges carry the doc id only",
+      "within-document work stays within the row: one narrow gram_counts kernel pass over the documents scan — no explode, no gram shuffle, no hash exchange at all (only the final presentation sort)",
       (s, sf) => Queries.queries("t07_repetition")(s, sf),
-      p => common(p) ++ atLeast(p, "partial_", 2) ++
-        atMost(p, "Exchange hashpartitioning", 3) ++ exchangesCarryNoPayload(p)),
+      p => common(p) ++ has(p, "gram_counts") ++ eq(p, "FileScan", 1) ++
+        eq(p, "Exchange hashpartitioning", 0) ++ hasNo(p, "Generate explode")),
 
     Audit("t08_seq_pack",
       "two-phase distributed prefix sum: range partition + narrow per-partition running sum (RDD scan), NO single-task Window.orderBy; final rank bounded per sequence",
