@@ -19,8 +19,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Table loader with a small-input parallelism floor.
+    *
+    * The harness tiers ship each table as ONE parquet file with ONE row
+    * group. A row group is the atomic parquet split, so however many
+    * byte-range tasks the planner schedules, exactly one task (the one
+    * holding the group's start offset) decodes every row — profiled at
+    * sf1: 31 of 32 cores idle under every corpus scan, and every
+    * kernel-bound query pays wall-clock = single-core time. The floor
+    * restores scan-side parallelism: when the file layout caps the scan
+    * below the cluster's parallelism AND the table is big enough for the
+    * shuffle to pay for itself, round-robin the rows across
+    * defaultParallelism once, right above the scan (the scan task then
+    * only decodes+forwards bytes; the expensive kernels run post-exchange
+    * at full width). Explicit numPartitions keeps AQE from coalescing it
+    * back down.
+    *
+    * At 100 TB this never fires: a real table has thousands of
+    * well-sized files (fileCount >= cores), and shuffling the corpus
+    * would be exactly wrong — the gate is the point. Filter pushdown and
+    * column pruning both pass through a Repartition node, so plan
+    * contracts on PushedFilters/ReadSchema are unchanged. */
+  private[graft] val floorMinBytes = 4L << 20
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    val cores = s.sparkContext.defaultParallelism
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val bytes = files.map(_.getLen).sum
+    if (files.length < cores && bytes >= floorMinBytes) df.repartition(cores)
+    else df
+  }
 
   // ---------------------------------------------------------------------
   // pages-lite: the Common-Crawl-style frontier input derived

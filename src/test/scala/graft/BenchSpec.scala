@@ -39,4 +39,27 @@ class BenchSpec extends AnyFunSuite {
     val node = mapper.readTree(json)
     assert(node.get("q").asText.contains("he said \"no\""))
   }
+
+  test("table loader floor: single-row-group tables spread across cores, pushdown survives") {
+    val dir = java.nio.file.Files.createTempDirectory("floor").toString
+    // one coalesced file >= floorMinBytes: the layout that serializes scans
+    spark.range(0, 400000).select(col("id").as("doc_id"),
+      concat(lit("x" * 64), col("id")).as("text"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val df = Queries.t(spark, dir, "documents")
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "big single-file table must be floored to defaultParallelism")
+    // filter pushdown and column pruning must pass THROUGH the floor's
+    // Repartition down to the scan — the floor must not cost plan quality
+    val plan = df.filter(col("doc_id") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+    // small tables (dims, gate-tier corpora) are left alone: no exchange
+    spark.range(0, 100).select(col("id").as("r_id"))
+      .coalesce(1).write.parquet(s"$dir/region.parquet")
+    val small = Queries.t(spark, dir, "region")
+    assert(!small.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sub-threshold table must not be floored")
+  }
 }
