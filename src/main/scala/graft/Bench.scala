@@ -233,6 +233,27 @@ object Bench {
     // micros (their numbers would not be comparable to a full run anyway)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // Profiling hook (like SPARK_GRAFT_EVENTLOG): SPARK_GRAFT_STACKDUMP_SEC=N
+    // dumps every thread's stack to stderr every N seconds. local[*] runs
+    // executors in THIS JVM, so this sees task threads directly — the
+    // ground-truth lock finder on a box where jstack cannot attach.
+    sys.env.get("SPARK_GRAFT_STACKDUMP_SEC").map(_.toInt).foreach { sec =>
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(sec * 1000L)
+          val all = Thread.getAllStackTraces
+          System.err.println(s"==== stack dump @${System.currentTimeMillis()} ====")
+          all.forEach { (th, st) =>
+            if (th.getName.contains("Executor task launch")) {
+              System.err.println(s"-- ${th.getName} state=${th.getState}")
+              st.take(12).foreach(f => System.err.println(s"   at $f"))
+            }
+          }
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+    }
     val spark = GraftSession.local(cpus)
 
     if (only.nonEmpty) {

@@ -1036,7 +1036,18 @@ object Queries {
           amplitude = (500 + (id * 13) % 2000).toInt,
           channels = (1 + id % 2).toInt)))
         .toDF("doc_id", "media")
-      Multimodal.decodeAudio(s, media).orderBy("doc_id")
+      // sort the CHEAP synthesized input, not the decode output: a final
+      // orderBy makes the RangePartitioner's sampling pass evaluate its
+      // whole child once more — with the sort below it, the extra pass
+      // re-synthesizes headers instead of decoding every payload twice.
+      // Explicit-count range partitioning, not orderBy: the shuffled bytes
+      // are small so AQE would coalesce the exchange to ~2 partitions and
+      // serialize the decode it cannot see. decodeAudio is a 1:1 in-order
+      // mapPartitions, so the range-sorted physical order survives to the
+      // output (the same layout guarantee m03/t08 already rely on).
+      Multimodal.decodeAudio(s, media
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
     }),
 
     "m05_video_container" -> ((s, dir) => {

@@ -66,16 +66,73 @@ object Multimodal {
   /** Real audio container parse: format type, channels, sample rate and
     * frame count from the stream header (no sample decode). Payloads the
     * JDK can't identify return valid=false. */
+  /** The JDK's registered audio container parsers, resolved ONCE.
+    * `AudioSystem.getAudioFileFormat/getAudioInputStream` re-resolve the
+    * provider list per call through a JVM-global synchronized registry
+    * (JDK13Services) — profiled at sf1 as 32 executor threads at 4% CPU,
+    * all blocked on that lock. The readers themselves (WAV/AIFF/AU) are
+    * stateless; calling them directly is the same real decode, lock-free. */
+  private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+      .iterator()
+    val buf = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    // SoftMidiAudioFileReader LAST: its probe delegates to
+    // MidiSystem.getSequence, which re-enters the synchronized
+    // JDK13Services registry on EVERY call — the in-process stack dumper
+    // showed all 32 task threads BLOCKED in JSSecurityManager.getProviders
+    // because the ServiceLoader order tries MIDI before WAV. The container
+    // readers (wav/aiff/au) probe by peeking magic bytes, lock-free.
+    val (midi, rest) = buf.result().partition(_.getClass.getName.contains("Midi"))
+    rest ++ midi
+  }
+
+  /** Standard MIDI file magic ("MThd"): only payloads that can possibly be
+    * MIDI may reach the MIDI reader and its per-call registry lock. */
+  private def isMidi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'M' && bytes(1) == 'T' &&
+      bytes(2) == 'h' && bytes(3) == 'd'
+
+  private def audioFileFormat(bytes: Array[Byte]): Option[javax.sound.sampled.AudioFileFormat] = {
+    var i = 0
+    while (i < audioReaders.length) {
+      val r = audioReaders(i)
+      if (!r.getClass.getName.contains("Midi") || isMidi(bytes)) {
+        try {
+          return Some(r.getAudioFileFormat(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes))))
+        } catch { case _: Exception => }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def audioInputStream(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    var i = 0
+    while (i < audioReaders.length) {
+      val r = audioReaders(i)
+      if (!r.getClass.getName.contains("Midi") || isMidi(bytes)) {
+        try {
+          return Some(r.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes))))
+        } catch { case _: Exception => }
+      }
+      i += 1
+    }
+    None
+  }
+
   def decodeAudioOne(bytes: Array[Byte]): AudioMeta = {
     if (bytes == null || bytes.isEmpty) return AudioMeta(0L, "empty", 0, 0, 0L, valid = false)
-    try {
-      val in = new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes))
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
-      AudioMeta(bytes.length.toLong, aff.getType.toString.toLowerCase,
-        aff.getFormat.getChannels, aff.getFormat.getSampleRate.toInt,
-        aff.getFrameLength.toLong, valid = true)
-    } catch {
-      case _: Exception => AudioMeta(bytes.length.toLong, "unknown", 0, 0, 0L, valid = false)
+    audioFileFormat(bytes) match {
+      case Some(aff) =>
+        AudioMeta(bytes.length.toLong, aff.getType.toString.toLowerCase,
+          aff.getFormat.getChannels, aff.getFormat.getSampleRate.toInt,
+          aff.getFrameLength.toLong, valid = true)
+      case None => AudioMeta(bytes.length.toLong, "unknown", 0, 0, 0L, valid = false)
     }
   }
 
@@ -85,8 +142,8 @@ object Multimodal {
   def audioFeaturesOne(bytes: Array[Byte]): AudioFeatures = {
     if (bytes == null || bytes.isEmpty) return AudioFeatures(0, 0, 0L, 0.0, 0, valid = false)
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      val in = audioInputStream(bytes).getOrElse(
+        throw new javax.sound.sampled.UnsupportedAudioFileException)
       try {
         val fmt = in.getFormat
         require(fmt.getSampleSizeInBits == 16, "16-bit PCM only")
