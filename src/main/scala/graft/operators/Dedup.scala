@@ -341,8 +341,12 @@ object Dedup {
       .distinct()
     val candShingles = base
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"),
-        array_distinct(shinglesFrom(split(trim(lower(col("t"))), "\\s+"), k)).as("sh"))
+      // token array materialized BELOW the shingle transform: inlined, the
+      // interpreted HOF re-evaluates split() once per shingle (measured
+      // 6x at sf0.1); two projections don't collapse because __ws is
+      // referenced more than once by a non-trivial expression
+      .select(col("id"), split(trim(lower(col("t"))), "\\s+").as("__ws"))
+      .select(col("id"), array_distinct(shinglesFrom(col("__ws"), k)).as("sh"))
     def shingleSet(side: String) = candShingles
       .select(col("id").as(s"id_$side"), col("sh").as(s"sh_$side"))
     val verified = pairs
@@ -444,8 +448,10 @@ object Dedup {
       .distinct()
     val candShingles = reps
       .join(candCks, Seq("ck"), "left_semi")
-      .select(col("ck"),
-        array_distinct(shinglesFrom(split(trim(lower(col("t"))), "\\s+"), k)).as("sh"))
+      // __ws materialized below the transform — see minhashPairs: inlined,
+      // the interpreted HOF re-splits the text once per shingle
+      .select(col("ck"), split(trim(lower(col("t"))), "\\s+").as("__ws"))
+      .select(col("ck"), array_distinct(shinglesFrom(col("__ws"), k)).as("sh"))
     def shingleSet(side: String) = candShingles
       .select(col("ck").as(s"ck_$side"), col("sh").as(s"sh_$side"))
     val nearCk = candPairs
