@@ -39,8 +39,14 @@ object Queries {
     * well-sized files (fileCount >= cores), and shuffling the corpus
     * would be exactly wrong — the gate is the point. Filter pushdown and
     * column pruning both pass through a Repartition node, so plan
-    * contracts on PushedFilters/ReadSchema are unchanged. */
-  private[graft] val floorMinBytes = 4L << 20
+    * contracts on PushedFilters/ReadSchema are unchanged.
+    *
+    * Threshold: 256 KB compressed (~8 KB/core at 32) — measured at
+    * sf0.1, flooring the 0.6 MB documents table cuts every kernel-bound
+    * query 2-4x (m02 1.9 -> 0.5 s, t07 1.1 -> 0.4 s) at the cost of
+    * ~0.3 s of extra exchange on a few metadata-only frontier queries;
+    * below ~256 KB the exchange overhead is the larger term. */
+  private[graft] val floorMinBytes = 256L << 10
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     val cores = s.sparkContext.defaultParallelism
