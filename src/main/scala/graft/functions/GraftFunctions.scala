@@ -151,9 +151,102 @@ object Kernels {
   def httpExtractText(b: Array[Byte]): UTF8String =
     UTF8String.fromBytes(HttpCodec.decodedBody(b))
   def bpeCount(s: UTF8String): Int = graft.codec.Bpe.countTokens(s.toString)
+
+  /** Word-piece upper-bound subword count: one piece per maximal ASCII
+    * alphanumeric run + one per non-space non-alnum CODEPOINT (tab and
+    * newline count; only ASCII 0x20 is skipped) — exactly
+    * `len(regexp_extract_all(t,'[a-zA-Z0-9]+')) +
+    *  len(regexp_extract_all(t,'[^a-zA-Z0-9 ]'))`.
+    * Single pass over the UTF-8 bytes, zero allocation: a multi-byte lead
+    * byte counts one piece and its continuation bytes are skipped, so
+    * astral codepoints count once like the per-codepoint regex. Replaces
+    * a lookaround-regex split that materialized a per-char array (3-4
+    * ms/doc — the dominant cost of the subword query at web scale). */
+  def subwordCount(s: UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var count = 0
+    var inRun = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9')
+        if (alnum) {
+          if (!inRun) count += 1
+          inRun = true
+        } else {
+          inRun = false
+          if (b != ' ') count += 1
+        }
+        i += 1
+      } else {
+        inRun = false
+        count += 1
+        i += 1
+        while (i < n && (s.getByte(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+    count
+  }
   def bpeIds(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.codec.Bpe.encodeIdsStr(s.toString))
   def lmSlogSum(s: UTF8String): Long = graft.codec.Lm.score(s.toString)._2
+
+  /** Fused quality counts in ONE UTF-8 byte walk:
+    * [n_chars, alpha_chars, digit_chars, punct_chars, n_tokens] —
+    * bit-equal to the five-expression form it replaces:
+    *   length(t), length(regexp_replace(t,"[^a-zA-Z]","")),
+    *   length(regexp_replace(t,"[^0-9]","")),
+    *   length(regexp_replace(t,"[^.,;:!?'\"()-]","")),
+    *   when(length(trim(t))==0, 0).otherwise(size(split(trim(t),"\\s+")))
+    * Semantics pinned to the originals: n_chars counts CODEPOINTS
+    * (astral = 1, like Spark `length` and DuckDB `length`); the char
+    * classes are pure ASCII; `trim` strips ONLY 0x20; Spark `split`
+    * keeps trailing empties (limit -1), so n_tokens = (number of maximal
+    * Java-`\s` runs, i.e. [ \t\n\x0B\f\r], inside the space-trimmed
+    * region) + 1, or 0 when the trimmed region is empty — identical to
+    * DuckDB `len(regexp_split_to_array(trim(t),'\s+'))` on text without
+    * \x0B (RE2's \s lacks vertical tab; neither corpus nor oracle emits
+    * it). Replaces three full-string regexp_replace rewrites + one
+    * array-allocating split per row — the dominant cost of the quality
+    * query at web scale. */
+  def qualityCounts(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    // space-trimmed bounds (0x20 only, exactly like Spark/DuckDB trim)
+    var lo = 0
+    while (lo < n && s.getByte(lo) == ' ') lo += 1
+    var hi = n
+    while (hi > lo && s.getByte(hi - 1) == ' ') hi -= 1
+    var nChars, alpha, digit, punct = 0
+    var wsRuns = 0
+    var inWs = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        nChars += 1
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+        else if (b >= '0' && b <= '9') digit += 1
+        else if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' ||
+                 b == '?' || b == '\'' || b == '"' || b == '(' || b == ')' ||
+                 b == '-') punct += 1
+        if (i >= lo && i < hi) {
+          val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+            b == '\f' || b == '\r'
+          if (ws) { if (!inWs) wsRuns += 1; inWs = true } else inWs = false
+        }
+        i += 1
+      } else { // multi-byte codepoint: one char, never ws/alpha/digit/punct
+        nChars += 1
+        if (i >= lo && i < hi) inWs = false
+        i += 1
+        while (i < n && (s.getByte(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+    val nTokens = if (hi == lo) 0 else wsRuns + 1
+    new GenericArrayData(Array(nChars, alpha, digit, punct, nTokens))
+  }
 }
 
 /** Base for one-arg expressions implemented as a static kernel call —
@@ -292,6 +385,28 @@ case class BpeCount(child: Expression) extends KernelUnary {
   override def nullSafeEval(v: Any): Any = Kernels.bpeCount(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
   override def prettyName: String = "bpe_count"
+}
+
+/** Fused per-doc quality counts [n_chars, alpha, digit, punct, n_tokens]
+  * in one byte walk — see [[Kernels.qualityCounts]] for the exact
+  * five-expression contract it replaces bit-for-bit. */
+case class QualityCounts(child: Expression) extends KernelUnary {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def kernelCall = "graft.functions.Kernels.qualityCounts(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.qualityCounts(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): QualityCounts = copy(child = c)
+  override def prettyName: String = "quality_counts"
+}
+
+/** Word-piece-split upper-bound subword count (alnum runs + non-space
+  * non-alnum codepoints) as a one-pass zero-allocation byte walk —
+  * see [[Kernels.subwordCount]] for the exact oracle contract. */
+case class SubwordCount(child: Expression) extends KernelUnary {
+  override def dataType: DataType = IntegerType
+  override protected def kernelCall = "graft.functions.Kernels.subwordCount(%s)"
+  override def nullSafeEval(v: Any): Any = Kernels.subwordCount(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): SubwordCount = copy(child = c)
+  override def prettyName: String = "subword_count"
 }
 
 /** Comma-joined BPE vocab ids (byte symbols 0..255, merge k → 256+k) —
@@ -475,6 +590,8 @@ object GraftFunctions {
   def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))
   def stopword_ratio(c: Column): Column = col(StopwordRatio(expr(c)))
   def bpe_count(c: Column): Column = col(BpeCount(expr(c)))
+  def quality_counts(c: Column): Column = col(QualityCounts(expr(c)))
+  def subword_count(c: Column): Column = col(SubwordCount(expr(c)))
   def bpe_ids(c: Column): Column = col(BpeIds(expr(c)))
   def lm_slog_sum(c: Column): Column = col(LmSlogSum(expr(c)))
   def gram_counts(ws: Column, n: Int): Column = col(GramCounts(expr(ws), n))
@@ -501,6 +618,8 @@ object GraftFunctions {
     one("doc_fingerprint", e => FingerprintExpr(e, 8, 4))
     one("quantize_i8", QuantizeI8)
     one("bpe_count", BpeCount)
+    one("quality_counts", QualityCounts)
+    one("subword_count", SubwordCount)
     one("bpe_ids", BpeIds)
     one("lm_slog_sum", LmSlogSum)
   }

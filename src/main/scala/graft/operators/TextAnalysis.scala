@@ -23,12 +23,13 @@ object TextAnalysis {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
-  /** BPE-ish subword count: word-piece regex split (letters runs, digit
-    * runs, single punctuation) — an upper-bound proxy for tokenizer cost. */
+  /** BPE-ish subword count: word-piece split (alnum runs, single
+    * non-space punctuation/other codepoints) — an upper-bound proxy for
+    * tokenizer cost, as a one-pass zero-allocation codegen kernel (the
+    * lookaround-regex split form materialized a per-char array at 3-4
+    * ms/doc; the kernel is a UTF-8 byte walk). */
   def subwordCount(c: Column): Column =
-    size(filter(
-      split(c, "(?<=[^a-zA-Z0-9])|(?=[^a-zA-Z0-9])"),
-      t => length(trim(t)) > 0))
+    graft.functions.GraftFunctions.subword_count(c)
 
   /** Tokenizer-faithful token count: real byte-level BPE under the repo's
     * committed deterministic merge table (graft.codec.Bpe) — what a
@@ -62,15 +63,27 @@ object TextAnalysis {
   def stopwordRatio(c: Column): Column =
     graft.functions.GraftFunctions.stopword_ratio(c)
 
-  /** Quality projection: raw counts + the stopword-ratio signal. */
-  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame =
+  /** Quality projection: raw counts + the stopword-ratio signal. The five
+    * counts come from ONE fused byte-walk kernel
+    * ([[graft.functions.Kernels.qualityCounts]]) — bit-equal to the
+    * alphaChars/digitChars/punctChars/tokenCount expression forms above,
+    * which each rewrote or split the full string per row (4 scans + 4
+    * allocations/doc — the quality query's dominant cost at web scale).
+    * The array is materialized in its own projection so the getItem
+    * extraction never re-runs the walk (same pattern as
+    * [[repetitionSignals]]'s gram-count arrays). */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    require(!docs.columns.contains("__qc"), "reserved column __qc present")
     docs
-      .withColumn("n_chars_m", length(col(textCol)))
-      .withColumn("alpha_chars", alphaChars(col(textCol)))
-      .withColumn("digit_chars", digitChars(col(textCol)))
-      .withColumn("punct_chars", punctChars(col(textCol)))
-      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__qc", graft.functions.GraftFunctions.quality_counts(col(textCol)))
+      .withColumn("n_chars_m", col("__qc").getItem(0))
+      .withColumn("alpha_chars", col("__qc").getItem(1))
+      .withColumn("digit_chars", col("__qc").getItem(2))
+      .withColumn("punct_chars", col("__qc").getItem(3))
+      .withColumn("n_tokens", col("__qc").getItem(4))
       .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
+      .drop("__qc")
+  }
 
   /** Gopher/MassiveText-style word-level quality rules beyond the raw
     * character counts above: per doc — word count, mean word length,

@@ -24,6 +24,80 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3) == ((3L, 10, 5, 0, 0, 5)))
   }
 
+  test("subwordCount kernel == regex-split form == regexp_extract_all oracle") {
+    // tabs/newlines count as pieces (only ASCII space is skipped), unicode
+    // counts per CODEPOINT (astral chars once), runs collapse to one piece
+    val texts = Seq(
+      "", "   ", "hello world", "Hello, World! 123 foo",
+      "a\tb\nc", "a,,b..c", "...", "x9y", "9x 9y",
+      "café au lait", "ééé",
+      "tab\tand\nnewline pieces", "trailing space ", " leading",
+      "MiXeD123cAsE456", "a  b   c")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // the retired lookaround-regex split (semantics pin)
+    val old = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "(?<=[^a-zA-Z0-9])|(?=[^a-zA-Z0-9])"),
+          t => length(trim(t)) > 0)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // the DuckDB oracle expression, replayed in Spark SQL form
+    docs.createOrReplaceTempView("swc_docs")
+    val oracle = spark.sql(
+      """SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-zA-Z0-9]+', 0)) +
+        |  size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0)) AS INT) AS n
+        |FROM swc_docs""".stripMargin)
+      .as[(Long, Int)].collect().toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) == old(i.toLong), s"kernel != regex split on '${texts(i)}'")
+      assert(got(i.toLong) == oracle(i.toLong), s"kernel != oracle on '${texts(i)}'")
+    }
+    // astral codepoints count ONCE, like DuckDB's RE2 per-codepoint class
+    // match (the retired Java-regex split counted each surrogate CHAR,
+    // giving 2 per astral codepoint — a divergence from the DuckDB oracle
+    // the kernel fixes; Spark's regexp_extract_all shares that defect, so
+    // neither retired form is compared here)
+    val astral = Seq((0L, "a😀b")).toDF("doc_id", "text")
+      .select(TextAnalysis.subwordCount(col("text"))).as[Int].collect()(0)
+    assert(astral == 3)
+    // null text degrades to null (matches the SQL oracle's NULL arithmetic)
+    val nulled = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.subwordCount(col("text"))).collect()(0)
+    assert(nulled.isNullAt(0))
+  }
+
+  test("qualityCounts fused kernel == the five retired expression forms") {
+    // edge matrix: tabs/newlines (Java \s but not trim'd), multiple spaces,
+    // leading/trailing space vs tab, unicode (astral counts once), empties,
+    // every punct-class char, digits/alpha runs
+    val texts = Seq(
+      "", " ", "   ", "a", " a ", "\ta b\t", "a\tb\nc", "a  b   c",
+      "Hello, World! 123 foo", ".,;:!?'\"()-", "café au lait 42", "ééé",
+      "a😀b", "line one\nline two\r\nline three", "trailing space ",
+      " leading space", "\t", "mixed \t \n ws", "(paren) - dash 'quote'")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.qualityMetrics(docs)
+      .select("doc_id", "n_chars_m", "alpha_chars", "digit_chars", "punct_chars", "n_tokens")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    val old = docs.select(col("doc_id"),
+        length(col("text")), TextAnalysis.alphaChars(col("text")),
+        TextAnalysis.digitChars(col("text")), TextAnalysis.punctChars(col("text")),
+        TextAnalysis.tokenCount(col("text")))
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) == old(i.toLong),
+        s"kernel != expression forms on '${texts(i).replace("\n", "\\n").replace("\t", "\\t")}'")
+    }
+    // null text degrades to all-null, like the SQL oracle's NULL arithmetic
+    val nulled = TextAnalysis.qualityMetrics(
+        Seq((0L, null: String)).toDF("doc_id", "text"))
+      .select("n_chars_m", "alpha_chars", "digit_chars", "punct_chars", "n_tokens")
+      .collect()(0)
+    (0 until 5).foreach(j => assert(nulled.isNullAt(j)))
+  }
+
   test("gopherRules: empty/whitespace docs get 0.0 ratios, never null") {
     val docs = Seq(
       (0L, "two short words"),
