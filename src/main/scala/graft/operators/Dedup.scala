@@ -87,6 +87,18 @@ object Dedup {
         col("__spg_g"), col("__spg_ba"), col("__spg_bb"))
       .select(col("__spg_g"), col("__spg_ba"), col("__spg_bb"),
         explode(col("__spg_as")).as("__spg_x"), col("__spg_bs"))
+      // The diagonal filter MUST stay a higher-order function, even though
+      // its lambda evaluates interpreted per element: a non-codegen-able
+      // generator forces this second Generate out of whole-stage codegen,
+      // which keeps the expansion STREAMING (the fallback GenerateExec
+      // pulls one outer row at a time). Every fully-codegen rewrite tried
+      // (slice(bs, i+2, ...) off posexplode's index; a double posexplode
+      // with a j > i filter) fuses both Generates into one codegen stage
+      // whose generated loop does not honor stop-checks under a shuffle
+      // map task — BufferedRowIterator buffers the task's ENTIRE quadratic
+      // expansion in its LinkedList. Measured at sf10 (1.3B-pair run):
+      // OOMs an 8g heap outright, and on a 24g heap the buffer's GC churn
+      // makes d03 2.6x SLOWER (405s vs 154s) than this interpreted form.
       .select(col("__spg_g"), col("__spg_x"),
         explode(when(col("__spg_ba") === col("__spg_bb"),
           filter(col("__spg_bs"), y => y > col("__spg_x")))

@@ -221,9 +221,13 @@ object SeenStore {
       val banksArr = banks.toArray
       val sketchType = cfg.sketch
       val fpp = cfg.fpp
-      // one row per store partition; each task k-way-merges its partitions
+      // one row per store partition; each task k-way-merges its partitions.
+      // EXPLICIT partition count (REPARTITION_BY_NUM): the rows are a few
+      // bytes, so a bare repartition(col) lets AQE coalesce the exchange to
+      // one task and serialize every partition's merge — the work here is
+      // per-partition file I/O AQE cannot see
       spark.range(cfg.parts).selectExpr("cast(id as int) as p")
-        .repartition(col("p"))
+        .repartition(cfg.parts, col("p"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val conf = new org.apache.hadoop.conf.Configuration()
           it.foreach { row =>
