@@ -3,7 +3,9 @@ package graft.functions
 import graft.codec.{Digests, HttpCodec, UrlNormalizer}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, SpecificInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -505,6 +507,97 @@ case class ArgMaxCell(
   override def prettyName: String = "argmax_cell"
 }
 
+/** Streaming pair generator over two sorted member arrays — the quadratic
+  * expansion primitive of the dedup operators' block-decomposed self/cross
+  * joins. Emits one (x, y) row per pair: the exact upper triangle i < j
+  * when `diagonal` is true (both sides are the SAME sorted array), the
+  * full |A|×|B| cross product otherwise.
+  *
+  * Deliberately a [[CodegenFallback]] Generator, and that choice is
+  * load-bearing twice over:
+  *
+  *  - A codegen-able generator here fuses into the surrounding
+  *    whole-stage-codegen pipeline, whose generated loop does not honor
+  *    stop-checks under a shuffle map task — BufferedRowIterator then
+  *    buffers the task's ENTIRE quadratic expansion in its LinkedList
+  *    (measured at sf10: OOMs an 8g heap; on 24g the buffer's GC churn is
+  *    a 2.6× slowdown). The fallback GenerateExec streams one pair at a
+  *    time into the shuffle writer.
+  *  - The two-explode formulation it replaces copied the full second
+  *    array into EVERY intermediate row of the first explode (blockSize
+  *    rows × an 8 KB array per block pair) and evaluated its diagonal
+  *    filter as an interpreted per-element lambda; this form reads both
+  *    arrays in place and does two field writes per pair.
+  *
+  * The output row is a reused [[SpecificInternalRow]] (primitive slots, no
+  * per-pair boxing for long ids): safe because GenerateExec's fallback
+  * path applies an UnsafeProjection to every generated row before any
+  * consumer can retain it. */
+case class PairExpand(left: Expression, right: Expression, diagonal: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right, diagonal)
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  private def elemNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType, diagonal.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _), BooleanType)
+          if a.catalogString == b.catalogString =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, d) => TypeCheckResult.TypeCheckFailure(
+        "pair_expand needs two arrays of one element type and a boolean, " +
+          s"got (${l.catalogString}, ${r.catalogString}, ${d.catalogString})")
+    }
+
+  override def elementSchema: StructType = new StructType()
+    .add("x", elemType, nullable = elemNullable)
+    .add("y", elemType, nullable = elemNullable)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = left.eval(input).asInstanceOf[ArrayData]
+    val b = right.eval(input).asInstanceOf[ArrayData]
+    if (a == null || b == null) return Iterator.empty
+    val d = diagonal.eval(input)
+    val diag = d != null && d.asInstanceOf[Boolean]
+    val n = a.numElements()
+    val m = b.numElements()
+    val et = elemType
+    // primitive fast path for the dedup operators' long row ids
+    val longs = et == LongType && !elemNullable
+    new scala.collection.AbstractIterator[InternalRow] {
+      private val row = new SpecificInternalRow(Seq(et, et))
+      private var i = 0
+      private var j = if (diag) 1 else 0
+      override def hasNext: Boolean = i < n && j < m
+      override def next(): InternalRow = {
+        if (longs) {
+          row.setLong(0, a.getLong(i))
+          row.setLong(1, b.getLong(j))
+        } else {
+          row.update(0, a.get(i, et))
+          row.update(1, b.get(j, et))
+        }
+        j += 1
+        if (j == m) {
+          i += 1
+          j = if (diag) i + 1 else 0
+          if (diag && j >= m) i = n // triangle exhausted
+        }
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PairExpand =
+    copy(left = newChildren(0), right = newChildren(1), diagonal = newChildren(2))
+  override def prettyName: String = "pair_expand"
+}
+
 /** Exact k-word-shingle Jaccard between two texts (hash-set based). */
 case class JaccardShingles(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -582,6 +675,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
   def jaccard_shingles(a: Column, b: Column, k: Int): Column =
     col(JaccardShingles(expr(a), expr(b), k))
+  def pair_expand(a: Column, b: Column, diagonal: Column): Column =
+    col(PairExpand(expr(a), expr(b), expr(diagonal)))
   def hyperplane_sigs(v: Column, nTables: Int, bandBits: Int, seed: Long): Column =
     col(HyperplaneSigs(expr(v), nTables, bandBits, seed))
   def quantize_i8(v: Column): Column = col(QuantizeI8(expr(v)))
@@ -622,5 +717,7 @@ object GraftFunctions {
     one("subword_count", SubwordCount)
     one("bpe_ids", BpeIds)
     one("lm_slog_sum", LmSlogSum)
+    reg.createOrReplaceTempFunction("pair_expand",
+      exprs => PairExpand(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -85,24 +85,22 @@ object Dedup {
       // work lives in the explodes below, which AQE cannot see)
       .repartition(shufflePartitions,
         col("__spg_g"), col("__spg_ba"), col("__spg_bb"))
-      .select(col("__spg_g"), col("__spg_ba"), col("__spg_bb"),
-        explode(col("__spg_as")).as("__spg_x"), col("__spg_bs"))
-      // The diagonal filter MUST stay a higher-order function, even though
-      // its lambda evaluates interpreted per element: a non-codegen-able
-      // generator forces this second Generate out of whole-stage codegen,
-      // which keeps the expansion STREAMING (the fallback GenerateExec
-      // pulls one outer row at a time). Every fully-codegen rewrite tried
-      // (slice(bs, i+2, ...) off posexplode's index; a double posexplode
-      // with a j > i filter) fuses both Generates into one codegen stage
-      // whose generated loop does not honor stop-checks under a shuffle
-      // map task — BufferedRowIterator buffers the task's ENTIRE quadratic
-      // expansion in its LinkedList. Measured at sf10 (1.3B-pair run):
-      // OOMs an 8g heap outright, and on a 24g heap the buffer's GC churn
-      // makes d03 2.6x SLOWER (405s vs 154s) than this interpreted form.
-      .select(col("__spg_g"), col("__spg_x"),
-        explode(when(col("__spg_ba") === col("__spg_bb"),
-          filter(col("__spg_bs"), y => y > col("__spg_x")))
-          .otherwise(col("__spg_bs"))).as("__spg_y"))
+      // ONE streaming Generate (graft's pair_expand, a deliberate
+      // CodegenFallback generator) replaces the former two-explode form.
+      // Fully-codegen alternatives (slice() off posexplode's index, double
+      // posexplode + j > i) fuse into a whole-stage loop that does not
+      // honor stop-checks under a shuffle map task and buffer the task's
+      // ENTIRE quadratic expansion in BufferedRowIterator's LinkedList —
+      // measured at sf10: OOM at 8g, 2.6× GC slowdown at 24g. The
+      // two-explode form streamed, but copied the 8 KB member array into
+      // every intermediate row and ran its diagonal filter as an
+      // interpreted per-element lambda. pair_expand streams the exact
+      // triangle (diagonal) / cross product (off-diagonal) with two field
+      // writes per pair and zero array copies.
+      .select(col("__spg_g"),
+        graft.functions.GraftFunctions.pair_expand(col("__spg_as"),
+          col("__spg_bs"), col("__spg_ba") === col("__spg_bb"))
+          .as(Seq("__spg_x", "__spg_y")))
       .select(col("__spg_g").as(groupCol),
         least(col("__spg_x"), col("__spg_y")).as("id_a"),
         greatest(col("__spg_x"), col("__spg_y")).as("id_b"))
@@ -184,8 +182,12 @@ object Dedup {
         col("__cpg_ids").as("__cpg_bs")), Seq(gBCol, "__cpg_bb"))
       .repartition(shufflePartitions,
         col(gACol), col(gBCol), col("__cpg_ba"), col("__cpg_bb"))
-      .withColumn("__cpg_x", explode(col("__cpg_as")))
-      .withColumn("__cpg_y", explode(col("__cpg_bs")))
+      // one streaming Generate for the A×B cross product — see
+      // selfPairsWithinGroups for why pair_expand (CodegenFallback) beats
+      // both the chained-explode and any fully-codegen formulation here
+      .select((carried.map(col) :+
+        graft.functions.GraftFunctions.pair_expand(col("__cpg_as"),
+          col("__cpg_bs"), lit(false)).as(Seq("__cpg_x", "__cpg_y"))): _*)
       .select(carried.map(col) :+
         least(col("__cpg_x"), col("__cpg_y")).as("id_a") :+
         greatest(col("__cpg_x"), col("__cpg_y")).as("id_b"): _*)
