@@ -332,11 +332,13 @@ object Dedup {
       .filter(col("__n") > 1) // on __n, not size(ids): keeps the partial agg identical to the sentinel branch's
       .drop("__n")
 
-    // within-bucket ordered pairs (a < b), dedup across bands
+    // within-bucket ordered pairs (a < b), dedup across bands — one
+    // streaming Generate (pair_expand, see selfPairsWithinGroups) instead
+    // of an interpreted per-element lambda building a pair-struct array
+    // per bucket row
     val pairs = buckets
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(graft.functions.GraftFunctions.pair_expand(
+        col("ids"), col("ids"), lit(true)).as(Seq("id_a", "id_b")))
       .distinct()
 
     // exact jaccard verification, computed ONLY for docs that appear in a
@@ -449,9 +451,8 @@ object Dedup {
     val candPairs = bucketAgg
       .filter(col("__n") > 1)
       .drop("__n")
-      .select(explode(expr(
-        "flatten(transform(cks, (a, i) -> transform(slice(cks, i + 2, size(cks)), b -> struct(a as ck_a, b as ck_b))))")).as("p"))
-      .select(col("p.ck_a").as("ck_a"), col("p.ck_b").as("ck_b"))
+      .select(graft.functions.GraftFunctions.pair_expand(
+        col("cks"), col("cks"), lit(true)).as(Seq("ck_a", "ck_b")))
       .distinct() // a ck pair can collide in several bands
     // shingle only the representatives that appear in a candidate ck pair
     // (cap-bounded): same semi-join pruning as [[minhashPairs]] — at web
@@ -594,10 +595,9 @@ object Dedup {
       .filter(col("__n") > 1)
       .drop("__n")
     val hashPairs = blocked
-      .select(explode(expr(
-        "flatten(transform(hs, (a, i) -> transform(slice(hs, i + 2, size(hs)), b -> struct(a as h_a, b as h_b))))")).as("p"))
-      .select(col("p.h_a").as("h_a"), col("p.h_b").as("h_b"),
-        hamming64(col("p.h_a"), col("p.h_b")).as("hamming"))
+      .select(graft.functions.GraftFunctions.pair_expand(
+        col("hs"), col("hs"), lit(true)).as(Seq("h_a", "h_b")))
+      .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
       .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
       .distinct() // a hash pair can agree on several block-combination keys
     // id expansion at cluster parallelism: two near-identical hash
@@ -897,10 +897,10 @@ object Dedup {
     val verified = bucketAgg
       .filter(col("__n") > 1)
       .drop("__n")
-      .select(explode(expr(
-        "flatten(transform(rows, (a, i) -> transform(slice(rows, i + 2, size(rows)), b -> struct(a.id as id_a, b.id as id_b, a.v as v_a, b.v as v_b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        cosine(col("p.v_a"), col("p.v_b")).as("cos"))
+      .select(graft.functions.GraftFunctions.pair_expand(
+        col("rows"), col("rows"), lit(true)).as(Seq("pa", "pb")))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+        cosine(col("pa.v"), col("pb.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
     // no silent caps (see minhashPairs / observedTruncation)
