@@ -45,18 +45,79 @@ object Queries {
     * sf0.1, flooring the 0.6 MB documents table cuts every kernel-bound
     * query 2-4x (m02 1.9 -> 0.5 s, t07 1.1 -> 0.4 s) at the cost of
     * ~0.3 s of extra exchange on a few metadata-only frontier queries;
-    * below ~256 KB the exchange overhead is the larger term. */
+    * below ~256 KB the exchange overhead is the larger term.
+    *
+    * Two consumer classes, two rules (A/B-isolated at sf0.1/sf1/sf10):
+    *
+    *  - kernel-first (`t`): expensive per-row compute (hashing, decode,
+    *    tokenize) runs BETWEEN the scan and the first exchange, so scan
+    *    width caps the whole query — floor whenever the layout's
+    *    effective width is below the cluster's.
+    *  - exchange-first (`tExch`): the first thing above the scan is a
+    *    partial aggregate or a key shuffle. The floor's round-robin
+    *    exchange moves the ENTIRE table to buy width the consumer's own
+    *    exchange (or map-side partial agg) already provides: at sf10,
+    *    skipping it halved every lineitem/events aggregate (q01 12.4 ->
+    *    7.6 s, q06 19.9 -> 9.8 s, q07 9.5 -> 4.5 s — even at 2 row
+    *    groups). The one case it still pays is a FULLY serial scan
+    *    (effective width 1): fusing the partial aggregate into a
+    *    single-task scan serializes real per-row agg work (q06 at sf0.1:
+    *    0.88 s floored vs 1.13 s not), so `tExch` floors only then.
+    *
+    * Width is the number of parquet ROW GROUPS (capped by the planner's
+    * byte-range split count), not the file count: a row group is the
+    * atomic split, so a 1.5 GB 12-group file scans 12-wide no matter how
+    * many byte ranges the planner cuts. Footers are read once per path
+    * (driver-side, cached). */
   private[graft] val floorMinBytes = 256L << 10
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    val cores = s.sparkContext.defaultParallelism
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  /** Effective scan width of a parquet path: min(row groups, byte-range
+    * splits) summed over files. */
+  private[graft] def scanWidth(s: SparkSession, pathStr: String): Int =
+    widthCache.computeIfAbsent(pathStr, { _ =>
+      val path = new org.apache.hadoop.fs.Path(pathStr)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = path.getFileSystem(conf)
+      val maxSplit = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong max 1L
+      fs.listStatus(path)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map { f =>
+          val groups =
+            try {
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+              try r.getRowGroups.size finally r.close()
+            } catch { case _: Exception => 1 }
+          val splits = math.ceil(f.getLen.toDouble / maxSplit).toInt max 1
+          math.min(groups max 1, splits)
+        }.sum
+    })
+  private def load(s: SparkSession, dir: String, name: String,
+                   floorBelow: SparkSession => Int): DataFrame = {
+    val pathStr = s"$dir/$name.parquet"
+    val df = s.read.parquet(pathStr)
+    val path = new org.apache.hadoop.fs.Path(pathStr)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-    val bytes = files.map(_.getLen).sum
-    if (files.length < cores && bytes >= floorMinBytes) df.repartition(cores)
+    val bytes = fs.listStatus(path)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")).map(_.getLen).sum
+    if (scanWidth(s, pathStr) < floorBelow(s) && bytes >= floorMinBytes)
+      df.repartition(s.sparkContext.defaultParallelism)
     else df
   }
+  /** Kernel-first consumers: floor when the scan is narrower than the cluster. */
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    load(s, dir, name, _.sparkContext.defaultParallelism)
+  /** Exchange-first consumers: floor only a fully serial scan.
+    *
+    * Join/window consumers (q03-q05, q08, q09) measured parity between the
+    * two rules at sf10 (the extra round-robin's map-side write runs at scan
+    * width either way, and this box's shuffle spill lands in page cache);
+    * they still use this rule because at 100 TB an extra full-corpus
+    * exchange is never the right default when the consumer's own key
+    * exchange provides the width. */
+  private[graft] def tExch(s: SparkSession, dir: String, name: String): DataFrame =
+    load(s, dir, name, _ => 2)
 
   // ---------------------------------------------------------------------
   // pages-lite: the Common-Crawl-style frontier input derived
@@ -280,7 +341,7 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational core (scan/filter/agg/join/window/sort, SURVEY §2) ---
     "q01_pricing_summary" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tExch(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(38,4)")).cast("double").as("sum_qty"),
@@ -289,7 +350,7 @@ object Queries {
         .orderBy("l_returnflag", "l_linestatus")),
 
     "q02_filter_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tExch(s, dir, "lineitem")
         .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
@@ -297,8 +358,8 @@ object Queries {
         .orderBy("l_returnflag")),
 
     "q03_region_revenue" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val customer = t(s, dir, "customer")
+      val orders = tExch(s, dir, "orders")
+      val customer = tExch(s, dir, "customer")
       val nation = broadcast(t(s, dir, "nation"))
       val region = broadcast(t(s, dir, "region"))
       orders
@@ -312,7 +373,7 @@ object Queries {
     }),
 
     "q04_topk_orders" -> ((s, dir) =>
-      t(s, dir, "orders")
+      tExch(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)),
@@ -320,7 +381,7 @@ object Queries {
     "q05_window_top_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
+      tExch(s, dir, "orders")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
@@ -328,14 +389,14 @@ object Queries {
     }),
 
     "q06_distinct_counts" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tExch(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
     "q07_events_hourly" -> ((s, dir) =>
-      t(s, dir, "events")
+      tExch(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
@@ -343,9 +404,9 @@ object Queries {
         .orderBy("hour", "event_type")),
 
     "q08_semi_join" -> ((s, dir) => {
-      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      val bigOrders = tExch(s, dir, "orders").filter(col("o_totalprice") > 100000)
         .select(col("o_custkey").as("c_custkey"))
-      t(s, dir, "customer")
+      tExch(s, dir, "customer")
         .join(bigOrders, Seq("c_custkey"), "left_semi")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
@@ -354,9 +415,9 @@ object Queries {
     "q09_anti_join" -> ((s, dir) => {
       // customers with no large order (threshold near p99 so the anti side
       // is non-trivial at every scale factor)
-      val orderCust = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      val orderCust = tExch(s, dir, "orders").filter(col("o_totalprice") > 450000)
         .select(col("o_custkey").as("c_custkey"))
-      t(s, dir, "customer")
+      tExch(s, dir, "customer")
         .join(orderCust, Seq("c_custkey"), "left_anti")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").agg(count(lit(1)).as("n"))
