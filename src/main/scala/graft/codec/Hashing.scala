@@ -14,16 +14,20 @@ object Hashing {
   private final val P4 = -8796714831421723037L // 9650029242287828579
   private final val P5 = 2870177450012600261L
 
-  def xxh64(data: Array[Byte], seed: Long): Long = {
-    val len = data.length
-    var idx = 0
+  def xxh64(data: Array[Byte], seed: Long): Long = xxh64Range(data, 0, data.length, seed)
+
+  /** xxh64 over data[off, off+len) — the scratch-buffer form used by the
+    * gram-hash kernels, which reuse one buffer across windows. */
+  def xxh64Range(data: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    var idx = off
+    val end = off + len
     var hash =
       if (len >= 32) {
         var v1 = seed + P1 + P2
         var v2 = seed + P2
         var v3 = seed
         var v4 = seed - P1
-        while (idx + 32 <= len) {
+        while (idx + 32 <= end) {
           v1 = round(v1, readLong(data, idx))
           v2 = round(v2, readLong(data, idx + 8))
           v3 = round(v3, readLong(data, idx + 16))
@@ -37,17 +41,17 @@ object Hashing {
         h
       } else seed + P5
     hash += len
-    while (idx + 8 <= len) {
+    while (idx + 8 <= end) {
       hash ^= round(0L, readLong(data, idx))
       hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
       idx += 8
     }
-    if (idx + 4 <= len) {
+    if (idx + 4 <= end) {
       hash ^= (readInt(data, idx) & 0xffffffffL) * P1
       hash = java.lang.Long.rotateLeft(hash, 23) * P2 + P3
       idx += 4
     }
-    while (idx < len) {
+    while (idx < end) {
       hash ^= (data(idx) & 0xffL) * P5
       hash = java.lang.Long.rotateLeft(hash, 11) * P1
       idx += 1

@@ -103,6 +103,85 @@ object Kernels {
     new GenericArrayData(Array(mx, dup, total.toLong))
   }
 
+  /** Word byte slices + the max window byte length for an n-gram walk over
+    * a pre-tokenized words column — shared prologue of the gram-hash
+    * kernels. Returns null when fewer than n words. */
+  private def gramWalk(ws: ArrayData, n: Int): (Array[Array[Byte]], Int, Int) = {
+    val nw = ws.numElements()
+    val total = nw - n + 1
+    if (total <= 0) return null
+    val wb = new Array[Array[Byte]](nw)
+    var i = 0
+    while (i < nw) {
+      val u = ws.getUTF8String(i)
+      wb(i) = if (u == null) Array.emptyByteArray else u.getBytes
+      i += 1
+    }
+    // sliding window byte length: sum of n word lengths + (n-1) separators
+    var win = n - 1
+    i = 0
+    while (i < n) { win += wb(i).length; i += 1 }
+    var maxWin = win
+    i = n
+    while (i < nw) {
+      win += wb(i).length - wb(i - n).length
+      if (win > maxWin) maxWin = win
+      i += 1
+    }
+    (wb, total, maxWin)
+  }
+
+  /** EXACT count of the row's DISTINCT word n-grams present in the eval
+    * bank (`bcValue` = broadcast (sorted xxh64 gram hashes, gram UTF-8
+    * bytes aligned to that order)). Per window: hash from a reused
+    * scratch buffer, binary-search the bank, then BYTE-COMPARE against
+    * every bank entry sharing the hash — string equality decides, so a
+    * 64-bit collision (either doc-gram vs bank or bank-internal) can
+    * never miscount. Distinctness (matching array_distinct-of-grams
+    * semantics) via the set of matched bank slots: a doc gram equals at
+    * most one eval gram, so distinct matched doc grams == distinct
+    * matched slots. One kernel call per document — the decontamination
+    * operator needs NO gram explode, NO join and NO gram strings. */
+  def gramHitCount(ws: ArrayData, n: Int, bcValue: Object): Int = {
+    val (bank, grams) = bcValue.asInstanceOf[(Array[Long], Array[Array[Byte]])]
+    if (bank.length == 0) return 0
+    val walk = gramWalk(ws, n)
+    if (walk == null) return 0
+    val (wb, total, maxWin) = walk
+    val scratch = new Array[Byte](maxWin)
+    var matched: java.util.HashSet[Integer] = null
+    var g = 0
+    while (g < total) {
+      // inline gramHashAt so the window byte length is at hand for compares
+      var off = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { scratch(off) = ' '; off += 1 }
+        val b = wb(g + j)
+        System.arraycopy(b, 0, scratch, off, b.length)
+        off += b.length
+        j += 1
+      }
+      val h = Hashing.xxh64Range(scratch, 0, off, 42L)
+      var i = java.util.Arrays.binarySearch(bank, h)
+      if (i >= 0) {
+        while (i > 0 && bank(i - 1) == h) i -= 1 // leftmost of an equal-hash run
+        var done = false
+        while (!done && i < bank.length && bank(i) == h) {
+          val eg = grams(i)
+          if (eg.length == off && java.util.Arrays.equals(eg, 0, off, scratch, 0, off)) {
+            if (matched == null) matched = new java.util.HashSet[Integer]()
+            matched.add(Integer.valueOf(i))
+            done = true // a doc gram equals at most one bank gram
+          }
+          i += 1
+        }
+      }
+      g += 1
+    }
+    if (matched == null) 0 else matched.size()
+  }
+
   /** Nearest-centroid assignment against a broadcast codebook: returns the
     * cell id with the highest cosine (ties → lowest cell id, because cells
     * are scanned in ascending-id order and only a strictly-greater score
@@ -475,6 +554,32 @@ case class GramCounts(child: Expression, n: Int) extends KernelUnary {
   override def prettyName: String = "gram_counts"
 }
 
+/** Decontamination as one kernel call per document: the EXACT count of
+  * the row's distinct word n-grams present in the broadcast eval-gram
+  * dim (sorted hashes + aligned gram bytes). Byte equality decides every
+  * hit, so this is string-exact — hashing only routes the lookup. Inside
+  * whole-stage codegen; replaces a corpus-wide gram explode + broadcast
+  * join (at 10^10 docs that explode is ~10^12 interpreted-built gram
+  * strings for a per-row answer). */
+case class GramHitCount(
+    child: Expression,
+    n: Int,
+    bankBc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Byte]])])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.gramHitCount(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n,
+      bankBc.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBankBc", bankBc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.gramHitCount($c, $n, $ref.value())")
+  }
+  override protected def withNewChildInternal(c: Expression): GramHitCount = copy(child = c)
+  override def prettyName: String = "gram_hit_count"
+}
+
 /** Int8 quantization of a FLOAT vector as one kernel call per row — the
   * HOF formulation (array_max + transform lambdas) evaluates interpreted
   * per element, which matters when quantizing 10^10 embeddings. */
@@ -690,6 +795,10 @@ object GraftFunctions {
   def bpe_ids(c: Column): Column = col(BpeIds(expr(c)))
   def lm_slog_sum(c: Column): Column = col(LmSlogSum(expr(c)))
   def gram_counts(ws: Column, n: Int): Column = col(GramCounts(expr(ws), n))
+  def gram_hit_count(
+      ws: Column, n: Int,
+      bank: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Byte]])]): Column =
+    col(GramHitCount(expr(ws), n, bank))
   def argmax_cell(
       v: Column,
       centroids: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])]): Column =

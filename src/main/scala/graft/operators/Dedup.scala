@@ -842,23 +842,37 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 13,
       evalTextCol: String = "text"): DataFrame = {
-    // token arrays materialize in a projection BELOW the gram transform:
-    // an inline tokenization inside the per-gram lambda would re-tokenize
-    // the document once per gram (wordNgramsFrom scaladoc)
-    val evalGrams = eval
+    // The eval side is small by construction (a benchmark suite — the
+    // boundedness a broadcast join would rely on anyway), so its distinct
+    // grams collect once and broadcast as a (sorted hashes, aligned gram
+    // bytes) dim. The corpus side is then ONE `gram_hit_count` kernel call
+    // per document — per window: reused-scratch hash, binary search, byte
+    // compare (string equality decides every hit, so the count is exact
+    // under any hash collision). No corpus-wide gram explode, no join, no
+    // gram strings: the r5 explode+broadcast-join form spent its time
+    // interpreted-building every gram string of every document
+    // (A/B-isolated at sf10, same window: 18.5-19.3 s -> 5.6-6.9 s).
+    // Token arrays still materialize in a projection BELOW the kernel —
+    // see wordNgramsFrom's scaladoc for the interpreted-HOF inlining trap.
+    val evalGramStrings: Array[String] = eval
       .select(ngramTokens(col(evalTextCol)).as("__ws"))
       .select(explode(wordNgramsFrom(col("__ws"), n)).as("g"))
       .distinct()
-    val hits = train
+      .collect().map(_.getString(0))
+    val dim = evalGramStrings
+      .map { g =>
+        val b = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (graft.codec.Hashing.xxh64(b, 42L), b)
+      }
+      .sortBy(_._1)
+    val bankBc = train.sparkSession.sparkContext
+      .broadcast((dim.map(_._1), dim.map(_._2)))
+    train
       .select(col(idCol), ngramTokens(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(wordNgramsFrom(col("__ws"), n)).as("g"))
-      .join(broadcast(evalGrams), "g")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_hits"))
-    train.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_hits"), lit(0)).as("n_hits"))
+        coalesce(
+          graft.functions.GraftFunctions.gram_hit_count(col("__ws"), n, bankBc),
+          lit(0)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 

@@ -56,17 +56,16 @@ object TrainingData {
     // nothing in the anti-join.
     val clean = (evalSet match {
       case Some(ev) =>
-        // token arrays materialized below the gram transform — an inline
-        // tokenization would re-run once per gram (Dedup.wordNgramsFrom)
-        val evalGrams = ev
-          .select(Dedup.ngramTokens(col(textCol)).as("__ws"))
-          .select(explode(Dedup.wordNgramsFrom(col("__ws"), cfg.contamN)).as("g"))
-          .distinct()
-        val contaminated = quality
-          .select(col(idCol), Dedup.ngramTokens(col(textCol)).as("__ws"))
-          .select(col(idCol), explode(Dedup.wordNgramsFrom(col("__ws"), cfg.contamN)).as("g"))
-          .join(broadcast(evalGrams), "g")
-          .select(col(idCol)).distinct()
+        // same broadcast-dim kernel form as Dedup.decontaminate: the eval
+        // grams collect once into a (sorted hash, gram bytes) dim and each
+        // quality doc answers "any shared contamN-gram?" in ONE codegen
+        // kernel call (byte-compared, string-exact) — no corpus-wide gram
+        // explode, no join below the anti-join
+        val contaminated = Dedup.decontaminate(
+            quality, ev, textCol = textCol, idCol = idCol, n = cfg.contamN,
+            evalTextCol = textCol)
+          .filter(col("contaminated"))
+          .select(col(idCol))
         deduped.join(contaminated, Seq(idCol), "left_anti")
       case None => deduped
     }).observe("curation_decontam", count(lit(1)).as("rows"))

@@ -221,10 +221,11 @@ object PlanAudit {
         eq(p, "BroadcastHashJoin", 1)),
 
     Audit("d07_decontam",
-      "eval n-gram set BROADCAST (BroadcastHashJoin on g); training side narrow explode, no shuffle before the per-doc count",
+      "within-document work stays within the row: one gram_hit_count kernel pass against the broadcast eval-gram dim — no gram explode, no join, no hash exchange (only the presentation sort)",
       (s, sf) => Queries.queries("d07_decontam")(s, sf),
-      p => common(p) ++ atLeast(p, "BroadcastHashJoin", 1) ++
-        eq(p, "SortMergeJoin", 0) ++ atMost(p, "Exchange hashpartitioning", 2)),
+      p => common(p) ++ has(p, "gram_hit_count") ++ eq(p, "SortMergeJoin", 0) ++
+        eq(p, "BroadcastHashJoin", 0) ++ eq(p, "Exchange hashpartitioning", 0) ++
+        hasNo(p, "Generate explode")),
 
     Audit("t07_repetition",
       "within-document work stays within the row: one narrow gram_counts kernel pass over the documents scan — no explode, no gram shuffle, no hash exchange at all (only the final presentation sort)",

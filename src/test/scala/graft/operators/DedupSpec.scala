@@ -395,4 +395,43 @@ class DedupSpec extends AnyFunSuite {
     // docs 0/1 share base's prefix; doc 5 is hit via the second eval text
     assert(expect(0L) > 0 && expect(1L) > 0 && expect(5L) > 0 && expect(3L) == 0)
   }
+
+  test("gram_hit_count kernel: byte verification beats hash collisions, distinct within doc") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(s: String) = new GenericArrayData(s.split(" ").map(UTF8String.fromString(_)))
+    def bank(grams: String*): (Array[Long], Array[Array[Byte]]) = {
+      val dim = grams.toArray
+        .map { g => val b = g.getBytes("UTF-8"); (graft.codec.Hashing.xxh64(b, 42L), b) }
+        .sortBy(_._1)
+      (dim.map(_._1), dim.map(_._2))
+    }
+    val ws = arr("a b c a b c x y")
+    // "a b c" occurs twice (windows 0 and 3) -> distinct counts ONCE
+    assert(graft.functions.Kernels.gramHitCount(ws, 3, bank("a b c")) == 1)
+    // two distinct matched grams -> 2
+    assert(graft.functions.Kernels.gramHitCount(ws, 3, bank("a b c", "c x y")) == 2)
+    // non-matching and empty banks -> 0
+    assert(graft.functions.Kernels.gramHitCount(ws, 3, bank("q q q")) == 0)
+    assert(graft.functions.Kernels.gramHitCount(
+      ws, 3, (Array.emptyLongArray, Array.empty[Array[Byte]])) == 0)
+    // COLLISION INJECTION: a bank slot whose hash equals a real doc gram's
+    // hash but whose BYTES differ must not count (the byte compare is the
+    // truth, the hash only routes the lookup)
+    val h = graft.codec.Hashing.xxh64("a b c".getBytes("UTF-8"), 42L)
+    val forged = (Array(h), Array("not the gram".getBytes("UTF-8")))
+    assert(graft.functions.Kernels.gramHitCount(ws, 3, forged) == 0)
+    // ...and an equal-hash RUN with the real gram behind the forged one
+    // still finds it (leftmost-scan across the run)
+    val run = (Array(h, h), Array("not the gram".getBytes("UTF-8"), "a b c".getBytes("UTF-8")))
+    assert(graft.functions.Kernels.gramHitCount(ws, 3, run) == 1)
+    // fewer than n words -> 0
+    assert(graft.functions.Kernels.gramHitCount(arr("a b"), 3, bank("a b c")) == 0)
+  }
+
+  test("decontaminate: disjoint eval set yields all-zero hits") {
+    val got = Dedup.decontaminate(docs, Seq("zz yy xx ww vv uu").toDF("text"), n = 5)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.nonEmpty && got.forall { case (_, h, c) => h == 0 && !c })
+  }
 }
