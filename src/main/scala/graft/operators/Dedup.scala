@@ -830,11 +830,12 @@ object Dedup {
     *
     * Plan shape at scale: the eval side (benchmark suites — thousands of
     * docs, not billions) collapses to a DISTINCT n-gram set that is
-    * BROADCAST; the training side is a narrow explode joined map-side
-    * (zero shuffle on the 100 TB side until the per-doc count, which
-    * groups on the already-carried doc id). Pass a large eval set and
-    * Spark's AQE falls back to a shuffled hash join on the gram key —
-    * still never all-pairs. */
+    * BROADCAST as a sorted-hash + gram-bytes bank; the training side is
+    * then ONE codegen kernel call per document — no corpus-side gram
+    * explode, no join, no shuffle at all on the 100 TB side. The eval
+    * side being bounded is the same assumption a broadcast join would
+    * make; an eval set too large to broadcast should go through the
+    * explode+join form instead (wordNgramsFrom + inner join on gram). */
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,
