@@ -187,6 +187,47 @@ object Bench {
     (rawBytes * zn / 1e6 / zstdSec, big.length.toLong * bn / 1e6 / bigSec)
   }
 
+  /** Fixed-work CPU canary: Mops/s of a 64-bit xorshift step on one thread,
+    * and the per-thread average with `cores` threads running the same work
+    * concurrently. Pure integer register work, zero allocation — these
+    * numbers move with the HOST's frequency/steal state and never with the
+    * engine's code, so a board whose query times inflate while the canary
+    * drops by the same factor is a machine-state change, not a regression
+    * (this VM has measured 1.2-1.8× swings across reboots on identical
+    * code and data — BASELINE.md "host state"; scripts/canary.sh is the
+    * process-level analog for reading historical boards). Emitted in the
+    * bench JSON so every board is self-documenting about the machine that
+    * produced it. */
+  def cpuCanary(cores: Int): (Double, Double) = {
+    val N = 200L * 1000 * 1000
+    def mix(iters: Long, seed: Long): Long = {
+      var s = seed | 1L
+      var i = 0L
+      while (i < iters) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        i += 1
+      }
+      s
+    }
+    // xorshift64 never reaches 0 from a nonzero seed: the require consumes
+    // the result (no dead-code elimination) and never fires
+    require(mix(N / 4, 42L) != 0L) // JIT warm
+    val t0 = System.nanoTime()
+    require(mix(N, 43L) != 0L)
+    val single = N / ((System.nanoTime() - t0) / 1e9) / 1e6
+    val perThread = new Array[Double](cores)
+    val threads = (0 until cores).map { i =>
+      new Thread(() => {
+        val t = System.nanoTime()
+        require(mix(N, 100L + i) != 0L)
+        perThread(i) = N / ((System.nanoTime() - t) / 1e9) / 1e6
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (single, perThread.sum / cores)
+  }
+
   /** Full evaluation of the query's own output columns. A bare count()
     * is NOT a faithful timing: the optimizer prunes the projections and
     * eliminates cardinality-preserving joins under it, so a narrow query
@@ -268,6 +309,10 @@ object Bench {
       return
     }
 
+    // host-state canary first, on a quiet JVM (before any Spark work):
+    // fixed integer work, so it prices THIS machine, not the engine
+    val (canSingle, canAll) = cpuCanary(cpus)
+
     // single-thread codec micro first: it must not time GC pauses left
     // behind by the multi-GB headline phase
     val (readMBps, writeMBps) = codecMicro()
@@ -286,7 +331,7 @@ object Bench {
     val errs = errorsJson(results)
     val total = results.map(_._2).sum + h.scheduleSec + h.extractSec
     println(
-      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs%s,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f,"warc_write_zstd_mb_per_sec":$writeZstdMBps%.1f,"warc_write_large_mb_per_sec":$writeLargeMBps%.1f}""")
+      f"""{"metric":"graft_round_total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs%s,"sf":"$sfDir","cores":$cpus,"frontier_urls_per_sec":${h.urlsPerSec}%.0f,"extract_mb_per_sec":${h.extractMBps}%.1f,"headline_pages":${h.nPages},"schedule_sec":${h.scheduleSec}%.3f,"extract_sec":${h.extractSec}%.3f,"warc_read_mb_per_sec":$readMBps%.1f,"warc_write_mb_per_sec":$writeMBps%.1f,"warc_write_zstd_mb_per_sec":$writeZstdMBps%.1f,"warc_write_large_mb_per_sec":$writeLargeMBps%.1f,"canary_single_mops":$canSingle%.1f,"canary_allcore_mops":$canAll%.1f,"canary_allcore_ratio":${canAll / canSingle}%.3f}""")
     spark.stop()
   }
 }
