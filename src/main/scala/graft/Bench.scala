@@ -212,20 +212,31 @@ object Bench {
     // xorshift64 never reaches 0 from a nonzero seed: the require consumes
     // the result (no dead-code elimination) and never fires
     require(mix(N / 4, 42L) != 0L) // JIT warm
-    val t0 = System.nanoTime()
-    require(mix(N, 43L) != 0L)
-    val single = N / ((System.nanoTime() - t0) / 1e9) / 1e6
-    val perThread = new Array[Double](cores)
-    val threads = (0 until cores).map { i =>
-      new Thread(() => {
-        val t = System.nanoTime()
-        require(mix(N, 100L + i) != 0L)
-        perThread(i) = N / ((System.nanoTime() - t) / 1e9) / 1e6
-      })
+    // median of 3 windows per level: this VM's steal windows move even the
+    // fixed-work canary by >50% between single 0.2 s windows (measured
+    // 284 vs 440 Mops minutes apart), so one window reports a moment, not
+    // the typical state of the run it rides with
+    def median3(body: => Double): Double =
+      Seq(body, body, body).sorted.apply(1)
+    val single = median3 {
+      val t0 = System.nanoTime()
+      require(mix(N, 43L) != 0L)
+      N / ((System.nanoTime() - t0) / 1e9) / 1e6
     }
-    threads.foreach(_.start())
-    threads.foreach(_.join())
-    (single, perThread.sum / cores)
+    val allcore = median3 {
+      val perThread = new Array[Double](cores)
+      val threads = (0 until cores).map { i =>
+        new Thread(() => {
+          val t = System.nanoTime()
+          require(mix(N, 100L + i) != 0L)
+          perThread(i) = N / ((System.nanoTime() - t) / 1e9) / 1e6
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      perThread.sum / cores
+    }
+    (single, allcore)
   }
 
   /** Full evaluation of the query's own output columns. A bare count()
