@@ -71,11 +71,7 @@ object Bench {
     }
     frontier.unpersist(); pages.unpersist()
     // scrub the throwaway store
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(seenDir))
+    LocalFiles.deleteRec(new java.io.File(seenDir))
     // urls/sec = frontier candidates pushed through the full pipeline per
     // second (the politeness budget caps emissions, not work done)
     Headline(nUrls / schedSec, bytesTotal / 1e6 / extractSec, schedSec, extractSec, nPages)

@@ -78,8 +78,12 @@ object Queries {
       val path = new org.apache.hadoop.fs.Path(pathStr)
       val conf = s.sparkContext.hadoopConfiguration
       val fs = path.getFileSystem(conf)
-      val maxSplit = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .stripSuffix("b").toLong max 1L
+      // byteStringAsBytes, not a bare toLong: the conf's documented unit
+      // syntax ("128MB", "64m") is valid here — set via spark-defaults,
+      // a user override, or the F07Prof A/B hook — and only the internal
+      // "134217728b" rendering would survive a stripSuffix parse.
+      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")) max 1L
       fs.listStatus(path)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         .map { f =>

@@ -104,17 +104,27 @@ object Frontier {
       col("payload_len") >= cfg.sizeThreshold &&
         col("payload_len") > 0 && col("payload_digest").isNotNull,
       lit(false))
-    val w = Window.partitionBy(col("__el"), col("payload_digest"))
+    // __salt: 0 for every eligible row (their partition IS the digest
+    // group, exactly as a digest-only window over the eligible subset),
+    // a per-row spread for exempt rows — WITHOUT it, every exempt row
+    // sharing (false, digest) funnels into ONE window task: all
+    // null-digest rows of the round in one partition, every copy of an
+    // identical sub-threshold error page in another. Their ranks are
+    // never read, but the single task would still sort them while the
+    // cluster idles — the exact funnel the plan audits ban.
+    val w = Window.partitionBy(col("__el"), col("payload_digest"), col("__salt"))
       .orderBy(col("warc_ts").asc, col("url_norm").asc)
     val dup = col("__el") && col("__rn") > 1
     df.withColumn("__el", eligible)
+      .withColumn("__salt",
+        when(eligible, lit(0L)).otherwise(xxhash64(col("url_norm"), col(captureTsCol))))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__first_url", first(col("url_norm")).over(w))
       .withColumn("__first_ts", first(col(captureTsCol)).over(w))
       .withColumn("is_revisit", dup)
       .withColumn("refers_to_url", when(dup, col("__first_url")))
       .withColumn("refers_to_ts", when(dup, col("__first_ts")).cast("timestamp"))
-      .drop("__el", "__rn", "__first_url", "__first_ts")
+      .drop("__el", "__salt", "__rn", "__first_url", "__first_ts")
   }
 
   /** Stage 3b — local-then-remote dedup (J3): rows that are local firsts

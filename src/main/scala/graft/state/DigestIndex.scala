@@ -67,20 +67,22 @@ object DigestIndex {
     } else {
       // replay hygiene: drop whatever a crashed earlier append left for
       // this round (files kept inside the dir so a registered partition
-      // location never dangles mid-wipe), then re-append
-      val dir = new java.io.File(ref.path, s"round=$round")
-      if (dir.isDirectory) dir.listFiles().foreach(deleteRec)
+      // location never dangles mid-wipe), then re-append. Through Hadoop
+      // FileSystem, not java.io.File: the table is EXTERNAL, so DROP
+      // PARTITION removes only catalog metadata — on a URI-schemed or
+      // non-local path (file:/, hdfs://, s3a://) a File-based wipe would
+      // silently no-op and the crashed round's orphan files would be read
+      // alongside the re-append forever.
+      val part = new org.apache.hadoop.fs.Path(ref.path, s"round=$round")
+      val fs = part.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(part))
+        fs.listStatus(part).foreach(st => fs.delete(st.getPath, true))
       spark.sql(s"ALTER TABLE `${ref.table}` DROP IF EXISTS PARTITION (round=$round)")
       rows.write.mode(SaveMode.Append).option("path", ref.path)
         .partitionBy("round")
         .bucketBy(ref.nBuckets, "payload_digest").sortBy("payload_digest")
         .saveAsTable(ref.table)
     }
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
   }
 
   /** Zero-row CDX frame with the index schema — lets a crawl's FIRST round

@@ -34,16 +34,25 @@ object Durable {
   def fingerprintCounters(fp: Option[Long]): Map[String, Long] =
     fp.map(f => Map(FingerprintKey -> f)).getOrElse(Map.empty)
 
-  /** Order-independent content fingerprint of an input frame: xor of
-    * per-row xxhash64 over every column, mixed with the row count. One
-    * aggregate scan of `df` — callers resuming an EXPENSIVE input plan
-    * should fingerprint a cheap upstream instead (see duplicateClusters). */
+  /** Order-independent content fingerprint of an input frame: wrapped SUM
+    * and XOR of per-row xxhash64 over every column, mixed with the row
+    * count. Sum AND xor: xor alone cancels any row occurring an even
+    * number of times, so two edge lists like {A,A,C} and {B,B,C} — equal
+    * counts, different content — would collide and silently defeat the
+    * stale-resume guard; the sum term is multiset-sensitive. The sum runs
+    * in decimal(38,0) (ANSI-safe — a long sum of 64-bit hashes overflows
+    * almost immediately) and wraps to 64 bits driver-side. One aggregate
+    * scan of `df` — callers resuming an EXPENSIVE input plan should
+    * fingerprint a cheap upstream instead (see duplicateClusters). */
   def fingerprint(df: DataFrame): Long = {
     import org.apache.spark.sql.functions._
+    val h = xxhash64(df.columns.map(col): _*)
     val r = df.agg(
-      coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("x"),
+      sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+      coalesce(bit_xor(h), lit(0L)).as("x"),
       count(lit(1)).as("n")).head()
-    r.getLong(0) * 31L + r.getLong(1)
+    val s = if (r.isNullAt(0)) 0L else r.getDecimal(0).toBigInteger.longValue()
+    (s * 31L + r.getLong(1)) * 31L + r.getLong(2)
   }
 
   /** Resume point: the largest committed iteration ≤ `maxIter`, with its

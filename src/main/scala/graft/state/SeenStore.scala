@@ -276,11 +276,7 @@ object SeenStore {
       val mdir = Paths.get(dir, "manifest")
       gens.filter(_._1 != keep).foreach { case (g, _) =>
         Files.deleteIfExists(mdir.resolve(s"compact-$g.json"))
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(new java.io.File(s"$dir/compact-$g"))
+        graft.LocalFiles.deleteRec(new java.io.File(s"$dir/compact-$g"))
       }
     }
 

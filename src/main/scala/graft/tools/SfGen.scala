@@ -218,11 +218,7 @@ object SfGen {
     Files.move(Paths.get(partFile), Paths.get(s"$out/$name.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     // scrub the Spark part-dir
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(tmp))
+    graft.LocalFiles.deleteRec(new java.io.File(tmp))
     println(s"wrote $out/$name.parquet")
   }
 

@@ -62,4 +62,18 @@ class BenchSpec extends AnyFunSuite {
     assert(!small.queryExecution.executedPlan.toString.contains("Exchange"),
       "sub-threshold table must not be floored")
   }
+
+  test("table loader parses maxPartitionBytes in the documented unit syntax") {
+    // "64MB"-style values are legal conf syntax (spark-defaults, user
+    // override, the F07Prof A/B hook) — the loader's width probe must not
+    // require the internal "134217728b" rendering
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "64MB")
+      val dir = java.nio.file.Files.createTempDirectory("units").toString
+      spark.range(0, 1000).select(col("id").as("doc_id")).coalesce(1)
+        .write.parquet(s"$dir/documents.parquet")
+      assert(Queries.t(spark, dir, "documents").count() == 1000)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }

@@ -242,6 +242,24 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DIFFERENT input"))
   }
 
+  test("fingerprint: even-multiplicity rows never cancel; order still irrelevant") {
+    import spark.implicits._
+    // xor-only fingerprints collapse any row appearing an even number of
+    // times: {A→B, A→B, C→D} and {E→F, E→F, C→D} would both reduce to
+    // h(C→D) with equal counts — a silent stale-resume acceptance. The
+    // sum term must separate them.
+    val a = Seq(("A", "B"), ("A", "B"), ("C", "D")).toDF("src", "dst")
+    val b = Seq(("E", "F"), ("E", "F"), ("C", "D")).toDF("src", "dst")
+    assert(graft.state.Durable.fingerprint(a) != graft.state.Durable.fingerprint(b),
+      "duplicate-row cancellation: structurally different inputs collided")
+    // order-independence and empty-frame stability are retained
+    val a2 = Seq(("C", "D"), ("A", "B"), ("A", "B")).toDF("src", "dst")
+    assert(graft.state.Durable.fingerprint(a) == graft.state.Durable.fingerprint(a2))
+    val empty = a.filter(lit(false))
+    assert(graft.state.Durable.fingerprint(empty) ==
+      graft.state.Durable.fingerprint(empty.orderBy("src")))
+  }
+
   test("embedding near-dup via banded hyperplane LSH: recall ≥ 0.9 on noisy pairs") {
     // planted near-dups are NOISE-perturbed (direction changes!), not
     // scalar multiples — a single-signature LSH only recalls ~28% of these

@@ -476,4 +476,37 @@ class FrontierSpec extends AnyFunSuite {
       Some(robotsDf), Some(politenessDf), cfg)
     assert(res.rounds == res2.rounds)
   }
+
+  test("digestDedup: exempt rows spread across window partitions, semantics unchanged") {
+    import spark.implicits._
+    val base = 1647748545000L
+    // two identical sub-threshold pages (shared digest), two null-digest
+    // failures, and one eligible dup pair — at crawl scale the first two
+    // classes are millions of rows sharing ONE (false, digest) group
+    val rows = Seq(
+      ("https://a.example/1", "digX", 10L),
+      ("https://a.example/2", "digX", 10L),
+      ("https://a.example/3", null.asInstanceOf[String], 0L),
+      ("https://a.example/4", null.asInstanceOf[String], 0L),
+      ("https://a.example/5", "digY", 3000L),
+      ("https://a.example/6", "digY", 3000L))
+      .zipWithIndex.map { case ((u, d, l), i) =>
+        (u, d, l, new java.sql.Timestamp(base + i * 1000L)) }
+      .toDF("url_norm", "payload_digest", "payload_len", "warc_ts")
+    val out = Frontier.digestDedup(rows, Frontier.Config())
+    val got = out.orderBy("url_norm")
+      .select("url_norm", "is_revisit").as[(String, Boolean)].collect()
+    assert(got.map(_._2).toSeq == Seq(false, false, false, false, false, true),
+      s"exempt rows never dedup; eligible dup pair marks its second capture: ${got.toSeq}")
+    // the window must carry the exempt-spread salt: without it, every
+    // (false, digest) group — all null digests of a round, every copy of
+    // an identical small error page — funnels into ONE window task
+    // logical plan: the physical tree hides inside AdaptiveSparkPlanExec
+    // until execution, which would make a WindowExec collect vacuously empty
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size == 3),
+      s"window must partition by (__el, digest, __salt):\n${out.queryExecution.optimizedPlan}")
+  }
 }

@@ -107,4 +107,22 @@ class DigestIndexSpec extends AnyFunSuite {
       DigestIndex.drop(spark, ref)
     }
   }
+
+  test("replay wipe holds on a URI-schemed table path (external-table file cleanup)") {
+    // DROP PARTITION on an EXTERNAL table removes only catalog metadata;
+    // the replay wipe must delete the crashed round's files through Hadoop
+    // FileSystem — a java.io.File("file:/...") probe silently no-ops and
+    // the re-append would read both generations forever
+    val ref = DigestIndex.Ref("graft_test_didx_uri",
+      "file:" + Files.createTempDirectory("graft-didx-uri").toString, nBuckets = 2)
+    try {
+      val r1 = Frontier.digestDedup(pages(0L until 40L), Frontier.Config())
+      DigestIndex.append(r1, ref, round = 0L, captureTsCol = "warc_ts")
+      val n = DigestIndex.cdx(spark, ref).get.count()
+      assert(n > 0)
+      DigestIndex.append(r1, ref, round = 0L, captureTsCol = "warc_ts")
+      assert(DigestIndex.cdx(spark, ref).get.count() == n,
+        "replaying a round's append on a file:-schemed path must not grow the index")
+    } finally DigestIndex.drop(spark, ref)
+  }
 }
