@@ -305,13 +305,16 @@ object Bench {
     val spark = GraftSession.local(cpus)
 
     if (only.nonEmpty) {
+      // canary rides every spot board too: a spot re-run is only comparable
+      // to the full board it is checked against modulo this host's shading
+      val (spotCanSingle, spotCanAll) = cpuCanary(cpus)
       val qs = SparkEntry.queries.filter { case (k, _) => only(k) }
       qs.foreach { case (_, fn) =>
         try evaluate(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
       }
       val results = timeQueries(spark, sfDir, qs)
       val qj = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      println(s"""{"metric":"graft_spot","queries":$qj,"errors":${errorsJson(results)},"sf":"$sfDir","cores":$cpus}""")
+      println(f"""{"metric":"graft_spot","queries":$qj,"errors":${errorsJson(results)},"sf":"$sfDir","cores":$cpus,"canary_single_mops":$spotCanSingle%.1f,"canary_allcore_mops":$spotCanAll%.1f}""")
       spark.stop()
       return
     }
