@@ -250,15 +250,26 @@ object Dedup {
 
   /** Exact dedup: group by content digest, keep the first (min key) row.
     * Equivalent to the reference's payload-digest first-wins (J2) on whole
-    * documents. */
+    * documents.
+    *
+    * Skew-safe shape (lineDedup's): the keeper per digest is a MIN
+    * AGGREGATE + join back, not a rank window partitioned by the digest —
+    * map-side partial_min collapses a boilerplate digest duplicated 10^7
+    * times to one row per map task before the wire, and the join back is
+    * a JOIN, which AQE's skew handling can split (it can never split a
+    * window group). Identical output to the former window form whenever
+    * `idCol` is unique (ties on (digest, id) all become keepers —
+    * deterministic, unlike row_number's arbitrary pick). The keeper join
+    * is null-safe on the digest so null-text rows dedupe among themselves
+    * exactly as the window form grouped them. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("digest")).orderBy(col(idCol).asc)
-    docs
-      .withColumn("digest", sha2(col(textCol), 256))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("is_dup", col("__rn") > 1)
-      .withColumn("keeper", first(col(idCol)).over(w))
-      .drop("__rn")
+    val d = docs.withColumn("digest", sha2(col(textCol), 256))
+    val keepers = d.groupBy(col("digest").as("__kd"))
+      .agg(min(col(idCol)).as("keeper"))
+    d.join(keepers, col("digest") <=> col("__kd"))
+      .withColumn("is_dup", col(idCol) =!= col("keeper"))
+      .select(docs.columns.map(col) ++
+        Seq(col("digest"), col("is_dup"), col("keeper")): _*)
   }
 
   // --- MinHash + LSH ------------------------------------------------------

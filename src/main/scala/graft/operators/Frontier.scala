@@ -90,41 +90,49 @@ object Frontier {
     * threshold and the empty payload are never deduped. Expects columns
     * (payload_digest, payload_len, url_norm, warc_ts). */
   def digestDedup(df: DataFrame, cfg: Config, captureTsCol: String = "warc_ts"): DataFrame = {
-    // exempt rows must not occupy ranks in a digest group. ONE window over
-    // all rows, partitioned by (eligibility, digest): eligible rows rank
-    // exactly as a digest-only window over the eligible subset would (their
-    // partition IS the digest group), exempt rows rank within partitions
-    // the projection below never reads. The former filter/union split
-    // referenced the upstream tree twice — scanning the round's cached data
-    // two extra times and doubling the plan Catalyst analyzes per crawl
-    // round; this shape scans once, and the exchange carries each row once
-    // (at real crawl payload sizes most rows clear the 2048-byte threshold,
-    // so the union plan's "window only over eligible rows" saved nothing).
     val eligible = coalesce(
       col("payload_len") >= cfg.sizeThreshold &&
         col("payload_len") > 0 && col("payload_digest").isNotNull,
       lit(false))
-    // __salt: 0 for every eligible row (their partition IS the digest
-    // group, exactly as a digest-only window over the eligible subset),
-    // a per-row spread for exempt rows — WITHOUT it, every exempt row
-    // sharing (false, digest) funnels into ONE window task: all
-    // null-digest rows of the round in one partition, every copy of an
-    // identical sub-threshold error page in another. Their ranks are
-    // never read, but the single task would still sort them while the
-    // cluster idles — the exact funnel the plan audits ban.
-    val w = Window.partitionBy(col("__el"), col("payload_digest"), col("__salt"))
-      .orderBy(col("warc_ts").asc, col("url_norm").asc)
-    val dup = col("__el") && col("__rn") > 1
-    df.withColumn("__el", eligible)
-      .withColumn("__salt",
-        when(eligible, lit(0L)).otherwise(xxhash64(col("url_norm"), col(captureTsCol))))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__first_url", first(col("url_norm")).over(w))
-      .withColumn("__first_ts", first(col(captureTsCol)).over(w))
+    // First capture per digest as a MIN-AGGREGATE + join back — lineDedup's
+    // skew-safe shape, replacing the former rank window partitioned by the
+    // digest. The window form was semantically right but web-scale wrong:
+    // for eligible rows the window partition IS the digest group, so a
+    // boilerplate payload captured 10^7 times (an identical ≥2048-byte
+    // error page) pinned ONE task sorting the whole group while the
+    // cluster idled — and AQE cannot split window groups. Here the
+    // aggregate's map-side partial_min collapses every in-task occurrence
+    // of a digest to one row before the wire (a mega-digest costs each map
+    // task one row), and the join back is a JOIN, which AQE's skew
+    // handling CAN split. Exempt rows (sub-threshold / empty / null
+    // digest) never enter the aggregate and never match it, so they keep
+    // their rows untouched with is_revisit = false — no salt machinery
+    // needed, because no window partition exists to funnel them.
+    //
+    // The aggregate branch references `df` a second time, pruned to
+    // (payload_digest, payload_len, warc_ts, url_norm, captureTs) — the
+    // narrow first-capture decision columns, never the payload. That is
+    // the worked-example discipline (optimization guide §8): decide on
+    // lightweight proxies, move heavy rows once.
+    //
+    // First-capture order is (warc_ts, url_norm, captureTs): identical to
+    // the former window order (warc_ts, url_norm) whenever that pair is
+    // unique within a digest group; on full ties every tied row is the
+    // first capture (deterministic, unlike row_number's arbitrary pick).
+    val ord = struct(col("warc_ts").as("ts"), col("url_norm").as("u"),
+      col(captureTsCol).as("cts"))
+    val marked = df.withColumn("__el", eligible).withColumn("__ord", ord)
+    val firsts = marked
+      .filter(col("__el"))
+      .groupBy(col("payload_digest"))
+      .agg(min(col("__ord")).as("__f"))
+    val dup = col("__el") && !(col("__ord") <=> col("__f"))
+    marked.join(firsts, Seq("payload_digest"), "left")
       .withColumn("is_revisit", dup)
-      .withColumn("refers_to_url", when(dup, col("__first_url")))
-      .withColumn("refers_to_ts", when(dup, col("__first_ts")).cast("timestamp"))
-      .drop("__el", "__salt", "__rn", "__first_url", "__first_ts")
+      .withColumn("refers_to_url", when(dup, col("__f.u")))
+      .withColumn("refers_to_ts", when(dup, col("__f.cts")).cast("timestamp"))
+      .select(df.columns.map(col) ++
+        Seq(col("is_revisit"), col("refers_to_url"), col("refers_to_ts")): _*)
   }
 
   /** Stage 3b — local-then-remote dedup (J3): rows that are local firsts

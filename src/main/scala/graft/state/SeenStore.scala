@@ -280,24 +280,52 @@ object SeenStore {
       }
     }
 
-    /** Exact unseen filter, as one exchange + one narrow filter: candidates
-      * route to their seen-partition, the probe checks the sketch (fast
-      * definite-no) and falls through to a binary search of the partition's
-      * exact sorted-hash state — no join, no second pass over the
-      * candidates, no driver state. `release` is a no-op (kept for API
-      * stability with earlier join-based builds). */
+    /** Probe-state footprint in bytes (sketches + exact sidecars) across
+      * the banks a probe over `ids` consults — the size that decides
+      * routed vs direct probing in [[filterUnseen]]. */
+    private def probeStateBytes(banks: Seq[String]): Long = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      banks.map { b =>
+        val p = new org.apache.hadoop.fs.Path(b)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum
+    }
+
+    /** Exact unseen filter as a narrow codegen filter: the probe checks the
+      * sketch (fast definite-no) and falls through to a binary search of
+      * the partition's exact sorted-hash state — no join, no second pass
+      * over the candidates, no driver state. `release` is a no-op (kept
+      * for API stability with earlier join-based builds).
+      *
+      * Routing is SIZE-ADAPTIVE (the broadcast-join decision applied to
+      * seen state): when the probe-visible banks' on-disk footprint fits
+      * `spark.graft.seenstore.directProbeMaxBytes` (default 1 GiB), the
+      * probe runs DIRECTLY over the candidates' existing partitioning —
+      * zero exchange — and each executor lazily loads the whole bank set
+      * once (a JVM-wide resolver cache de-duplicates loads across tasks).
+      * Past the threshold — the north_star's 10^10-url store is ~100 GB —
+      * candidates exchange once on `__seen_part` so each task loads only
+      * its partitions' |seen|/parts-byte slices; leaving that exchange's
+      * partition count to spark.sql.shuffle.partitions (not cfg.parts)
+      * keeps AQE free to coalesce and decouples probe parallelism from
+      * state layout. Output rows are identical either way (the filter is
+      * a pure per-row predicate); only the exchange placement differs. */
     def filterUnseen(candidates: DataFrame, maxId: Option[Long] = None): Filtered = {
       val ids = maxId.map(m => committedIds.filter(_ <= m)).getOrElse(committedIds)
       if (ids.isEmpty) return Filtered(candidates, () => ())
       val cfg = config
-      // any hash exchange on __seen_part gives each task locality over a
-      // few store partitions; leaving the partition count to
-      // spark.sql.shuffle.partitions (not cfg.parts) keeps AQE free to
-      // coalesce and decouples probe parallelism from state layout
-      val out = candidates
+      val banks = probeBanks(ids)
+      val directMax = candidates.sparkSession.conf
+        .get("spark.graft.seenstore.directProbeMaxBytes", (1L << 30).toString).toLong
+      val withPart = candidates
         .withColumn("__seen_part", pmod(col("url_hash"), lit(cfg.parts)).cast("int"))
-        .repartition(col("__seen_part"))
-        .filter(!seenContains(col("__seen_part"), col("url_hash"), probeBanks(ids), cfg.parts))
+      val routed =
+        if (probeStateBytes(banks) <= directMax) withPart
+        else withPart.repartition(col("__seen_part"))
+      val out = routed
+        .filter(!seenContains(col("__seen_part"), col("url_hash"), banks, cfg.parts))
         .drop("__seen_part")
       Filtered(out, () => ())
     }
@@ -370,7 +398,12 @@ case class CuckooFilterAggregate(
 case class SeenContains(left: Expression, right: Expression,
                         banks: Seq[String], parts: Int)
     extends BinaryExpression {
-  @transient private lazy val resolver = new SketchResolver(banks.toArray, parts)
+  // JVM-shared resolver (SketchResolver.forBanks): tasks deserialize their
+  // own copy of this expression, so a per-expression resolver would reload
+  // every touched bank per TASK — the shared cache loads each (bank,
+  // partition) blob once per executor instead (required for the direct
+  // probe, where every task touches every partition)
+  @transient private lazy val resolver = SketchResolver.forBanks(banks, parts)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullSafeEval(part: Any, hash: Any): Any =
     resolver.contains(part.asInstanceOf[Int], hash.asInstanceOf[Long])
@@ -391,6 +424,20 @@ case class SeenContains(left: Expression, right: Expression,
   * A task only ever touches the partitions routed to it, so executor
   * memory is O(|seen|/parts × parts-touched), and the driver holds
   * nothing. */
+object SketchResolver {
+  // Keyed on the bank PATH LIST: banks are immutable once probe-visible
+  // (increments commit-then-never-rewrite; compactions are new gen dirs),
+  // so a path list uniquely identifies contents. Bounded: evicting by
+  // clear() is always safe — resolvers reload lazily on demand.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int), SketchResolver]()
+  def forBanks(banks: Seq[String], parts: Int): SketchResolver = {
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent((banks, parts),
+      { k => new SketchResolver(k._1.toArray, k._2) })
+  }
+}
+
 final class SketchResolver(banks: Array[String], parts: Int) extends Serializable {
   @transient private lazy val probes =
     new java.util.concurrent.atomic.AtomicReferenceArray[SketchBank.Probe](banks.length * parts)

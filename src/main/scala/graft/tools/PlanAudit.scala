@@ -133,11 +133,11 @@ object PlanAudit {
         atMost(p, "Exchange hashpartitioning", 5) ++ exchangesCarryNoPayload(p)),
 
     Audit("f08_seen_partitioned",
-      "ONE exchange on __seen_part + narrow codegen seen_contains filter; NO bloom subquery, NO join, NO driver-side sketch (probe runs over the COMPACTED single bank)",
+      "DIRECT seen probe (state under the size gate): seen_contains fused as a narrow codegen filter with ZERO probe exchange — the only hash exchange is the first-wins window's; NO bloom subquery, NO join, NO driver-side sketch (probe runs over the COMPACTED single bank)",
       (s, sf) => Queries.queries("f08_seen_partitioned")(s, sf),
       p => common(p) ++ has(p, "seen_contains") ++
-        has(p, "Exchange hashpartitioning(__seen_part") ++
-        eq(p, "Exchange hashpartitioning", 2) ++ eq(p, "Join", 0) ++
+        hasNo(p, "Exchange hashpartitioning(__seen_part") ++
+        eq(p, "Exchange hashpartitioning", 1) ++ eq(p, "Join", 0) ++
         hasNo(p, "bloom")),
 
     Audit("f13_cross_round_index",
@@ -146,13 +146,15 @@ object PlanAudit {
       p => common(p) ++ has(p, "Bucketed: true") ++ has(p, "SelectedBucketsCount") ++
         has(p, "Exchange hashpartitioning(payload_digest") ++
         atMost(p, "Exchange hashpartitioning", 2) ++ atLeast(p, "Join", 1) ++
+        hasNo(p, "windowspecdefinition") ++ has(p, "partial_min") ++
         noShuffleAboveBucketedScan(p)),
 
     Audit("f09_cdx_dedup",
-      "local first-wins window + ONE left join against the aggregated CDX last-capture dim; exemptions as codegen filters",
+      "skew-safe local first-wins: min-aggregate firsts dim (NO digest window) joined back + ONE left join against the aggregated CDX last-capture dim; exemptions as codegen filters",
       (s, sf) => Queries.queries("f09_cdx_dedup")(s, sf),
-      p => common(p) ++ eq(p, "BroadcastHashJoin", 1) ++ eq(p, "SortMergeJoin", 0) ++
-        eq(p, "Exchange hashpartitioning", 2) ++ has(p, "LeftOuter")),
+      p => common(p) ++ eq(p, "BroadcastHashJoin", 2) ++ eq(p, "SortMergeJoin", 0) ++
+        eq(p, "Exchange hashpartitioning", 2) ++ has(p, "LeftOuter") ++
+        hasNo(p, "windowspecdefinition") ++ has(p, "partial_min")),
 
     Audit("s01_ann_brute",
       "broadcast of the SMALL query side (BroadcastNestedLoopJoin), corpus scanned once, WindowGroupLimit partial top-k",
@@ -269,17 +271,23 @@ object PlanAudit {
       (s, _) => f07RoundCore(s),
       p => common(p) ++ atLeast(p, "BroadcastHashJoin", 2) ++
         atLeast(p, ", Partial", 3) ++
-        // digest dedup: ONE window partitioned by (eligibility, digest)
-        (if (p.linesIterator.exists(l =>
-              l.contains("windowspecdefinition") && l.contains("payload_digest")))
-          Nil else Seq("missing digest-dedup window on payload_digest")) ++
+        // digest dedup: first capture per digest is a min-aggregate + join
+        // back — a rank window partitioned by the digest is BANNED (one
+        // boilerplate digest would pin one window task; AQE cannot split
+        // window groups, it can split the join this shape uses instead)
+        (p.linesIterator
+          .filter(l => l.contains("windowspecdefinition") && l.contains("payload_digest"))
+          .map(l => s"forbidden digest-partitioned window: ${l.trim.take(120)}")
+          .toSeq) ++
+        has(p, "partial_min") ++
         exchangesCarryNoPayload(p)),
 
     Audit("bench_headline_schedule",
-      "the BENCH frontier path: seen_contains probe + single host exchange with WindowGroupLimit Partial map-side prune (salted pre-rank off)",
+      "the BENCH frontier path: DIRECT seen_contains probe (zero probe exchange — state under the size gate) + single host exchange with WindowGroupLimit Partial map-side prune (salted pre-rank off)",
       (s, _) => benchHeadlineSchedule(s),
       p => common(p) ++ has(p, "seen_contains") ++
-        eq(p, "Exchange hashpartitioning", 2) ++ atLeast(p, ", Partial", 1)),
+        hasNo(p, "Exchange hashpartitioning(__seen_part") ++
+        eq(p, "Exchange hashpartitioning", 1) ++ atLeast(p, ", Partial", 1)),
   )
 
   // the integrated crawl-round core (f07's per-round plan, unpersisted):

@@ -477,7 +477,7 @@ class FrontierSpec extends AnyFunSuite {
     assert(res.rounds == res2.rounds)
   }
 
-  test("digestDedup: exempt rows spread across window partitions, semantics unchanged") {
+  test("digestDedup: skew-safe (no digest window), semantics unchanged") {
     import spark.implicits._
     val base = 1647748545000L
     // two identical sub-threshold pages (shared digest), two null-digest
@@ -498,15 +498,49 @@ class FrontierSpec extends AnyFunSuite {
       .select("url_norm", "is_revisit").as[(String, Boolean)].collect()
     assert(got.map(_._2).toSeq == Seq(false, false, false, false, false, true),
       s"exempt rows never dedup; eligible dup pair marks its second capture: ${got.toSeq}")
-    // the window must carry the exempt-spread salt: without it, every
-    // (false, digest) group — all null digests of a round, every copy of
-    // an identical small error page — funnels into ONE window task
+    // the skew ban (VERDICT r5 #1): first-wins must be a min-aggregate +
+    // join back, never a rank window partitioned by the digest — a
+    // boilerplate digest captured 10^7 times would pin one window task,
+    // and AQE cannot split window groups (it CAN split a skewed join).
     // logical plan: the physical tree hides inside AdaptiveSparkPlanExec
     // until execution, which would make a WindowExec collect vacuously empty
     val wins = out.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size == 3),
-      s"window must partition by (__el, digest, __salt):\n${out.queryExecution.optimizedPlan}")
+    assert(wins.isEmpty,
+      s"digestDedup must not contain any window (min-aggregate + join back):\n${out.queryExecution.optimizedPlan}")
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty, "digestDedup must compute firsts as an aggregate")
+  }
+
+  test("digestDedup: planted mega-digest dedups without a digest window") {
+    import spark.implicits._
+    val base = 1647748545000L
+    // one digest duplicated 20k times (the web-scale boilerplate shape the
+    // min-aggregate form exists for) + a control pair
+    val rows = spark.range(20000).select(
+      concat(lit("https://flood.example/"), col("id")).as("url_norm"),
+      lit("digFLOOD").as("payload_digest"),
+      lit(4096L).as("payload_len"),
+      (lit(base).cast("timestamp")).as("warc_ts"))
+      .unionByName(Seq(
+        ("https://b.example/1", "digB", 4096L),
+        ("https://b.example/2", "digB", 4096L))
+        .toDF("url_norm", "payload_digest", "payload_len")
+        .withColumn("warc_ts", lit(base).cast("timestamp")))
+    val out = Frontier.digestDedup(rows, Frontier.Config())
+    val agg = out.groupBy(col("payload_digest"))
+      .agg(org.apache.spark.sql.functions.sum(when(col("is_revisit"), 1L).otherwise(0L)).as("revisits"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // ties on warc_ts break by url_norm: exactly one first per digest
+    assert(agg("digFLOOD") == ((19999L, 20000L)), s"flood group: $agg")
+    assert(agg("digB") == ((1L, 2L)), s"control group: $agg")
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, "mega-digest path must not plan a window")
   }
 }

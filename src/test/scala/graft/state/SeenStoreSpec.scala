@@ -183,4 +183,29 @@ class SeenStoreSpec extends AnyFunSuite {
     assert(f.result.count() == 2000L)
     f.release()
   }
+
+  test("probe routing is size-adaptive: direct (no exchange) under the gate, routed over it, identical rows") {
+    val dir = Files.createTempDirectory("graft-seen-route").toString
+    val store = SeenStore(dir, SeenStore.Config(parts = 4))
+    store.append(spark.range(0, 3000).select(xxhash64(col("id")).as("url_hash")), 0L)
+    def candidates = spark.range(0, 6000).select(xxhash64(col("id")).as("url_hash"))
+    val confKey = "spark.graft.seenstore.directProbeMaxBytes"
+    // small state (default 1 GiB gate): DIRECT — zero probe exchange,
+    // probe fused over the candidates' existing partitioning
+    val direct = store.filterUnseen(candidates).result
+    assert(!direct.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning(__seen_part"),
+      "small state must probe directly (no __seen_part exchange)")
+    val directRows = direct.orderBy("url_hash").collect().map(_.getLong(0)).toSeq
+    // force the routed path (gate at 0 bytes): ONE exchange on __seen_part
+    spark.conf.set(confKey, "0")
+    try {
+      val routed = store.filterUnseen(candidates).result
+      assert(routed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(__seen_part"),
+        "state past the gate must route candidates to their seen partition")
+      val routedRows = routed.orderBy("url_hash").collect().map(_.getLong(0)).toSeq
+      assert(routedRows == directRows, "probe routing must never change the result")
+    } finally spark.conf.unset(confKey)
+  }
 }
