@@ -50,6 +50,16 @@ object BenchExtra {
         // strips boot/JIT/page-cache shading out of the comparison
         val nPages = args.lift(1).map(_.toLong).getOrElse(150000L)
         headlineAb(spark, nPages)
+      case "bpetrain" =>
+        // distributed BPE trainer throughput at sfDir: wall + merges/sec,
+        // with per-phase marks every 256 merges (the delta-trainer claim:
+        // per-merge wall flat after merge 1, not growing with merges)
+        val nMerges = args.lift(1).map(_.toInt).getOrElse(1024)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val t0 = System.nanoTime()
+        val merges = graft.codec.Bpe.trainDistributed(docs, nMerges)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"BENCHX bpetrain nMerges=${merges.size} wall=$wall%.1f merges_per_sec=${merges.size / wall}%.2f")
       case "queries" =>
         val names = args(1).split(",").toSet
         val qs = SparkEntry.queries.filter { case (k, _) => names(k) }

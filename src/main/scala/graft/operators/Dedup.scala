@@ -437,7 +437,19 @@ object Dedup {
       .select(col(idCol).as("id"), trim(col(textCol)).as("t"))
       .filter(length(col("t")) > 0)
     val keyed = base.select(col("id"), col("t"), md5(col("t")).as("ck"))
+    // (ck, id) is consumed by SIX downstream subtrees (the self-pair lane's
+    // size/block aggregates, the cross-pair lane's size/block aggregates
+    // and semi-prune) — left as lineage, each reference re-scans the corpus
+    // and re-hashes every text (measured: 90+ scan nodes in the d10 plan).
+    // The simhash treatment applies verbatim: materialize the NARROW
+    // projection once behind an eager localCheckpoint (24 bytes/doc — the
+    // same 10^10-doc budget simhash's (id, h) already accepts), keyed on ck
+    // so every downstream ck-keyed aggregate/join reuses the partitioning
+    // instead of exchanging again. The text column is deliberately NOT
+    // checkpointed: (id, t) is the corpus.
     val members = keyed.select(col("ck"), col("id"))
+      .repartition(col("ck"))
+      .localCheckpoint()
 
     // lane 1: identical texts → jaccard exactly 1.0, exact at any scale.
     // Block-decomposed (selfPairsWithinGroups), NOT a plain self-equi-join:
@@ -472,8 +484,17 @@ object Dedup {
     val candCks = candPairs
       .select(explode(array(col("ck_a"), col("ck_b"))).as("ck"))
       .distinct()
-    val candShingles = reps
+    // prune BEFORE the aggregate, not after: `reps` is a corpus-wide min_by
+    // — semi-joining its OUTPUT to candCks still paid the full aggregate a
+    // second time just to shingle a cap-bounded candidate set. Filtering
+    // `keyed` first (groupBy commutes with a semi-join on the group key)
+    // reduces the re-aggregate to candidate rows only; the candidate set is
+    // broadcast-sized by the cap, so the filter is a broadcast semi join
+    // over one narrow corpus scan.
+    val candShingles = keyed
       .join(candCks, Seq("ck"), "left_semi")
+      .groupBy(col("ck"))
+      .agg(min_by(col("t"), col("id")).as("t"))
       // __ws materialized below the transform — see minhashPairs: inlined,
       // the interpreted HOF re-splits the text once per shingle
       .select(col("ck"), split(trim(lower(col("t"))), "\\s+").as("__ws"))
@@ -687,10 +708,15 @@ object Dedup {
         e
     }
     var comp = resumed.map(_._2).getOrElse(
+      // lazy: iteration 1's convergence count is the immediate single
+      // consumer (edges above stays EAGER — it must materialize while the
+      // pair list is still persisted, or the union's two branches would
+      // re-run the LSH plan)
       graft.state.Durable.pin(
         edges.select(col("src").as("id")).distinct().withColumn("rep", col("id")),
         compTable, 0L,
-        graft.state.Durable.fingerprintCounters(inputFingerprint)))
+        graft.state.Durable.fingerprintCounters(inputFingerprint),
+        eager = false))
     var prev: Option[DataFrame] = None
     var converged = false
     var i = resumed.map(_._1.toInt).getOrElse(0)
@@ -712,7 +738,10 @@ object Dedup {
           coalesce(col("prep"), stepped("rep")).as("rep"),
           (coalesce(col("prep"), stepped("rep")) =!= col("old_rep")).as("changed"))
       val jumped =
-        if (stateDir.isEmpty && (i + 1) % ckptEvery == 0) jumped0.localCheckpoint(true)
+        // lazy checkpoint: the convergence count below is the immediate
+        // single consumer and materializes every partition — same cache
+        // coverage as the former eager form, one fewer job per round
+        if (stateDir.isEmpty && (i + 1) % ckptEvery == 0) jumped0.localCheckpoint(false)
         else jumped0.persist(lvl)
       // the one action of the round: fully materializes the cache (count
       // scans every partition — isEmpty would stop at the first hit and

@@ -269,14 +269,20 @@ object Frontier {
     val rankTable = stateDir.map(_ + "/hostrank")
     val e = edges.select(col("src_host"), col("dst_host"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy checkpoints: plan truncation is identical, but materialization
+    // folds into the next consumer's job (hosts: the count right below;
+    // outdeg/iterations: the final consumer's single job) instead of one
+    // blocking driver job per pin — at bench scale each saved job is
+    // ~0.1-0.3 s of fixed orchestration, at cluster scale each is a
+    // cluster-wide barrier removed (guide §2.6: keep the scheduler fed)
     val hosts = e.select(col("src_host").as("host"))
       .unionByName(e.select(col("dst_host").as("host")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = hosts.count()
     if (n == 0) { e.unpersist(); return hosts.withColumn("rank", lit(0L)) }
     val outdeg = e.groupBy(col("src_host")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val base = (15L * (scale / n)) / 100L
     // durable mode: iteration i's ranks are a TableIO snapshot (id = i), so
     // a rerun over the same edges continues from the last committed
@@ -291,7 +297,7 @@ object Frontier {
       edges.sparkSession, rankTable, iterations.toLong, fp)
     var rank = resumed.map(_._2).getOrElse(
       graft.state.Durable.pin(hosts.withColumn("rank", lit(scale / n)), rankTable, 0L,
-        graft.state.Durable.fingerprintCounters(fp)))
+        graft.state.Durable.fingerprintCounters(fp), eager = false))
     var i = resumed.map(_._1.toInt).getOrElse(0)
     while (i < iterations) {
       val contrib = e
@@ -303,7 +309,7 @@ object Frontier {
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
           (lit(base) + expr(s"(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
-        rankTable, i + 1L)
+        rankTable, i + 1L, eager = false)
       i += 1
     }
     e.unpersist()

@@ -119,7 +119,8 @@ object Similarity {
       corpus.sparkSession, table, iterations.toLong)
     var cents = resumed.map(_._2).getOrElse(
       graft.state.Durable.pin(
-        centroids.select(col("cell_id"), col("centroid")), table, 0L))
+        centroids.select(col("cell_id"), col("centroid")), table, 0L,
+        eager = false))
     var it = resumed.map(_._1.toInt).getOrElse(0)
     while (it < iterations) {
       val assigned = ivfAssign(corpus, cents, idCol, vecCol)
@@ -135,11 +136,14 @@ object Similarity {
         .select(col("cell_id"),
           transform(col("comps"), c =>
             (c.getField("m").cast("double") / lit(scale)).cast("float")).as("__new"))
+      // lazy pin: ivfAssign's codebook collect (the very next statement of
+      // the next iteration, or the caller's broadcast) materializes it —
+      // saves one blocking job per Lloyd iteration
       cents = graft.state.Durable.pin(
         cents.join(rebuilt, Seq("cell_id"), "left")
           .select(col("cell_id"),
             coalesce(col("__new"), col("centroid")).as("centroid")),
-        table, it + 1L)
+        table, it + 1L, eager = false)
       it += 1
     }
     cents

@@ -19,14 +19,22 @@ object Durable {
 
   /** Pin one iteration's result. Durable (table defined): TableIO commit
     * at snapshot id `iter`, then read back (downstream lineage = file
-    * scan). In-memory: eager localCheckpoint. `counters` ride the manifest
-    * (iteration 0 conventionally records `inputFingerprint`). */
+    * scan). In-memory: localCheckpoint — plan truncation is immediate
+    * either way; `eager = false` defers the MATERIALIZATION to the first
+    * consumer, so an iterative caller whose next step immediately acts on
+    * the result (a convergence count, a codebook collect, the final
+    * consumer) skips one blocking driver job per iteration. Callers whose
+    * pinned frame is first touched by CONCURRENT consumers should keep
+    * `eager = true` (a lazy checkpoint races its first materialization).
+    * `counters` ride the manifest (iteration 0 conventionally records
+    * `inputFingerprint`). */
   def pin(df: DataFrame, table: Option[String], iter: Long,
-          counters: Map[String, Long] = Map.empty): DataFrame = table match {
+          counters: Map[String, Long] = Map.empty,
+          eager: Boolean = true): DataFrame = table match {
     case Some(t) =>
       TableIO.commitAs(df, t, iter, counters)
       TableIO.read(df.sparkSession, t, Some(iter)).get
-    case None => df.localCheckpoint(eager = true)
+    case None => df.localCheckpoint(eager = eager)
   }
 
   private val FingerprintKey = "inputFingerprint"
@@ -75,7 +83,11 @@ object Durable {
           require(recorded.contains(fp),
             s"durable state at $t was written for a DIFFERENT input " +
               s"(fingerprint ${recorded.get} != $fp) — refusing to resume " +
-              "stale iteration state; delete the dir to recompute")
+              "stale iteration state; delete the dir to recompute. Note: a " +
+              "fingerprint ALGORITHM change across engine versions (r5 " +
+              "moved from xor*31+n to (sum*31+xor)*31+n) also trips this " +
+              "check on identical input — deleting the dir is the expected " +
+              "upgrade step in that case")
         }
         id -> TableIO.read(spark, t, Some(id)).get
       }

@@ -100,32 +100,20 @@ object SeenStore {
         .write.mode("overwrite").partitionBy("seen_part").parquet(s"$incDir/data")
       val rows = obs.get("rows").asInstanceOf[Long]
 
-      // per-partition sketches, built and written entirely executor-side
-      val perPart = math.max(64L, 2L * rows / cfg.parts)
-      val sketchCol = cfg.sketch match {
-        case "cuckoo" => cuckooAgg(col("url_hash"), perPart)
-        case _ => bloomAgg(col("url_hash"), perPart, cfg.fpp)
-      }
+      // per-partition sketch + exact sorted-hash sidecar in ONE pass over
+      // the already-partitioned increment (hash partitioning puts every
+      // row of a seen_part in exactly one task): each task groups its
+      // rows per part, sorts once, writes the sidecar, and builds a
+      // RIGHT-SIZED sketch from the same sorted array (the compact()
+      // build — sized to the actual part, not a uniform rows/parts
+      // estimate). Replaces a sketch groupBy-aggregate pass plus a second
+      // sidecar pass: one fewer full scan of the increment and one fewer
+      // driver action per commit. The probe binary-searches the sidecar
+      // only when the sketch says maybe — the unseen filter stays EXACT
+      // with zero joins.
       val ext = cfg.sketch
+      val fpp = cfg.fpp
       val sketchDir = s"$incDir/sketch"
-      inc.groupBy(col("seen_part")).agg(sketchCol.as("sk"))
-        .select(col("seen_part"), col("sk"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          it.foreach { row =>
-            val p = new org.apache.hadoop.fs.Path(s"$sketchDir/p-${row.getInt(0)}.$ext")
-            val fs = p.getFileSystem(conf)
-            val out = fs.create(p, true)
-            out.write(row.getAs[Array[Byte]](1))
-            out.close()
-          }
-        }
-
-      // exact per-partition state sidecar: sorted int64 hash arrays, the
-      // "state table" the sketches front. A probe task binary-searches its
-      // partition's array only when the sketch says maybe — so the unseen
-      // filter is EXACT with zero joins. Written executor-side from the
-      // already-partitioned increment (no extra exchange).
       inc.select(col("seen_part"), col("url_hash"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val byPart = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -138,11 +126,17 @@ object SeenStore {
             val arr = buf.toArray
             java.util.Arrays.sort(arr)
             val p = new org.apache.hadoop.fs.Path(s"$sketchDir/p-$part.hashes")
-            val out = p.getFileSystem(conf).create(p, true)
+            val fs = p.getFileSystem(conf)
+            val out = fs.create(p, true)
             val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
             arr.foreach(bb.putLong)
             out.write(bb.array())
             out.close()
+            val sk = SketchBank.buildSketch(arr, ext, fpp)
+            val sp = new org.apache.hadoop.fs.Path(s"$sketchDir/p-$part.$ext")
+            val so = fs.create(sp, true)
+            so.write(sk)
+            so.close()
           }
         }
       inc.unpersist()
