@@ -149,6 +149,18 @@ object PlanAudit {
         hasNo(p, "windowspecdefinition") ++ has(p, "partial_min") ++
         noShuffleAboveBucketedScan(p)),
 
+    Audit("f03_digest_dedup",
+      "skew-safe digest first-wins: min-aggregate (map-side partial_min) + join back; NO window anywhere — a digest-partitioned window funnels a boilerplate digest into one task",
+      (s, sf) => Queries.queries("f03_digest_dedup")(s, sf),
+      p => common(p) ++ hasNo(p, "windowspecdefinition") ++
+        has(p, "partial_min") ++ has(p, "LeftOuter")),
+
+    Audit("d01_exact_dedup",
+      "skew-safe exact dedup: min-aggregate keeper (map-side partial_min) + null-safe join back; NO window anywhere",
+      (s, sf) => Queries.queries("d01_exact_dedup")(s, sf),
+      p => common(p) ++ hasNo(p, "windowspecdefinition") ++
+        has(p, "partial_min")),
+
     Audit("f09_cdx_dedup",
       "skew-safe local first-wins: min-aggregate firsts dim (NO digest window) joined back + ONE left join against the aggregated CDX last-capture dim; exemptions as codegen filters",
       (s, sf) => Queries.queries("f09_cdx_dedup")(s, sf),
