@@ -70,20 +70,24 @@ object Queries {
     * many byte ranges the planner cuts. Footers are read once per path
     * (driver-side, cached). */
   private[graft] val floorMinBytes = 256L << 10
-  private val widthCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  // keyed on (path, resolved maxSplit): a session changing
+  // spark.sql.files.maxPartitionBytes after a path was first measured gets
+  // a fresh width for the new split size instead of silently reusing the
+  // old one (ADVICE r5 #3)
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[(String, Long), Int]()
   /** Effective scan width of a parquet path: min(row groups, byte-range
     * splits) summed over files. */
-  private[graft] def scanWidth(s: SparkSession, pathStr: String): Int =
-    widthCache.computeIfAbsent(pathStr, { _ =>
+  private[graft] def scanWidth(s: SparkSession, pathStr: String): Int = {
+    // byteStringAsBytes, not a bare toLong: the conf's documented unit
+    // syntax ("128MB", "64m") is valid here — set via spark-defaults,
+    // a user override, or the F07Prof A/B hook — and only the internal
+    // "134217728b" rendering would survive a stripSuffix parse.
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")) max 1L
+    widthCache.computeIfAbsent((pathStr, maxSplit), { _ =>
       val path = new org.apache.hadoop.fs.Path(pathStr)
       val conf = s.sparkContext.hadoopConfiguration
       val fs = path.getFileSystem(conf)
-      // byteStringAsBytes, not a bare toLong: the conf's documented unit
-      // syntax ("128MB", "64m") is valid here — set via spark-defaults,
-      // a user override, or the F07Prof A/B hook — and only the internal
-      // "134217728b" rendering would survive a stripSuffix parse.
-      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")) max 1L
       fs.listStatus(path)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         .map { f =>
@@ -97,6 +101,7 @@ object Queries {
           math.min(groups max 1, splits)
         }.sum
     })
+  }
   private def load(s: SparkSession, dir: String, name: String,
                    floorBelow: SparkSession => Int): DataFrame = {
     val pathStr = s"$dir/$name.parquet"
