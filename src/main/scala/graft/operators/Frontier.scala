@@ -305,11 +305,16 @@ object Frontier {
         .join(outdeg, "src_host")
         .select(col("dst_host").as("host"), expr("rank div od").as("c"))
         .groupBy("host").agg(sum(col("c")).as("in_sum"))
+      // intermediate iterations pin lazily (the next iteration's plan is
+      // the materializing consumer); the LAST iteration pins EAGERLY so
+      // the whole chain materializes while `e` is still persisted — a lazy
+      // final pin would let the e.unpersist() below force every deferred
+      // iteration to re-derive the edge frame from its source
       rank = graft.state.Durable.pin(hosts
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
           (lit(base) + expr(s"(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
-        rankTable, i + 1L, eager = false)
+        rankTable, i + 1L, eager = i + 1 >= iterations)
       i += 1
     }
     e.unpersist()
